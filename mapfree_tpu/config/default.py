@@ -1,0 +1,121 @@
+"""Default config schema.
+
+Key-for-key compatible with the reference schema (reference: config/default.py:3-116)
+so the reference's YAML tree loads unmodified. TPU-specific keys live under the new
+``TPU`` node; everything else preserves the exact names/defaults.
+"""
+
+from mapfree_tpu.config.node import CfgNode as CN
+
+_CN = CN()
+
+##############  Model    ##############
+_CN.MODEL = None  # options: ['Regression', 'RegressionMultiFrame', 'FeatureMatching']
+_CN.DEBUG = False
+
+# Regression model options
+_CN.ENCODER = CN()
+_CN.ENCODER.TYPE = None           # options: ['ResNet', 'ResUNet']
+_CN.ENCODER.NUM_BLOCKS = None     # blocks per layer separated by dashes, e.g. 3-3-3
+_CN.ENCODER.BLOCK_TYPE = None     # 0: PreActBlock, 1: PreActBottleneck
+_CN.ENCODER.NOT_CONCAT = None     # ResUNet option
+_CN.ENCODER.NUM_OUT_LAYERS = None  # ResUNet option
+
+_CN.AGGREGATOR = CN()
+_CN.AGGREGATOR.TYPE = None              # ['CorrelationVolumeWarping', 'CorrelationVolumeWarpingQKV', 'Concat']
+_CN.AGGREGATOR.POSITION_ENCODER = None      # adds 2 channels: soft-argmax warp position
+_CN.AGGREGATOR.POSITION_ENCODER_IM1 = None  # adds 2 channels: uniform uv grid of im1
+_CN.AGGREGATOR.MAX_SCORE_CHANNEL = None     # adds 1 channel: max correlation score
+_CN.AGGREGATOR.NORMALISE_DOT = False        # L2-normalise features before dot product
+_CN.AGGREGATOR.RESIDUAL_ATT = False         # QKV variant: residual connections on Q/K/V
+_CN.AGGREGATOR.CV_OUTLAYERS = 0             # >0: compress correlation volume to this many channels
+_CN.AGGREGATOR.CV_HALF_CHANNELS = False     # correlation over first half of channels only
+_CN.AGGREGATOR.UPSAMPLE_POS_ENC = 0         # >0: upsample positional encoding to this many channels
+_CN.AGGREGATOR.DUSTBIN = False              # learned dustbin row/col for unmatched features
+
+_CN.HEAD = CN()
+_CN.HEAD.TYPE = None          # e.g. 'ProcrustesDeepResBlock', 'DirectDeepResBlockMLP', ...
+_CN.BACKPROJECT_ANCHORS = None
+_CN.HEAD.ADD_BASIS = False    # add orthonormal basis to MLP anchors (NUM_PTS 3 or 6)
+_CN.HEAD.NUM_PTS = 6          # number of 3D anchor points the head regresses
+_CN.HEAD.AVG_POOL = False     # global average pool before MLP instead of ravel
+_CN.HEAD.BATCH_NORM = True    # batch-norm in head res-blocks
+_CN.HEAD.SEPARATE_SCALE = True  # regress scale separately from unit direction
+
+# Feature Matching options
+_CN.FEATURE_MATCHING = None   # options: ['SIFT', 'Precomputed']
+_CN.POSE_SOLVER = None        # ['EssentialMatrix', 'EssentialMatrixMetric', 'Procrustes', 'PNP']
+
+_CN.SIFT = CN()
+_CN.SIFT.NUM_FEATURES = None
+_CN.SIFT.RATIO_THRESHOLD = None
+
+_CN.MATCHES_FILE_PATH = None  # npz of precomputed correspondences
+
+_CN.EMAT_RANSAC = CN()
+_CN.EMAT_RANSAC.PIX_THRESHOLD = None
+_CN.EMAT_RANSAC.SCALE_THRESHOLD = None
+_CN.EMAT_RANSAC.CONFIDENCE = None
+
+_CN.PROCRUSTES = CN()
+_CN.PROCRUSTES.MAX_CORR_DIST = None
+_CN.PROCRUSTES.REFINE = False
+
+_CN.PNP = CN()
+_CN.PNP.RANSAC_ITER = None
+_CN.PNP.REPROJECTION_INLIER_THRESHOLD = None
+_CN.PNP.CONFIDENCE = None
+
+##############  Dataset  ##############
+_CN.DATASET = CN()
+_CN.DATASET.DATA_SOURCE = None   # ['ScanNet', '7Scenes', 'MapFree']
+_CN.DATASET.SCENES = None        # list of scenes or None for all
+_CN.DATASET.DATA_ROOT = None
+_CN.DATASET.NPZ_ROOT = None
+_CN.DATASET.MIN_OVERLAP_SCORE = None
+_CN.DATASET.MAX_OVERLAP_SCORE = None
+_CN.DATASET.AUGMENTATION_TYPE = None  # [None, 'colorjitter']
+_CN.DATASET.BLACK_WHITE = False
+_CN.DATASET.PAIRS_TXT = CN()
+_CN.DATASET.PAIRS_TXT.TRAIN = None
+_CN.DATASET.PAIRS_TXT.VAL = None
+_CN.DATASET.PAIRS_TXT.TEST = None
+_CN.DATASET.PAIRS_TXT.ONE_NN = False
+_CN.DATASET.HEIGHT = None
+_CN.DATASET.WIDTH = None
+_CN.DATASET.ESTIMATED_DEPTH = None
+_CN.DATASET.QUERY_FRAME_COUNT = 1   # 1 or 9
+
+############# TRAINING #############
+_CN.TRAINING = CN()
+_CN.TRAINING.BATCH_SIZE = None
+_CN.TRAINING.NUM_WORKERS = None
+_CN.TRAINING.SAMPLER = None           # ['random', 'scene_balance']
+_CN.TRAINING.N_SAMPLES_SCENE = None
+_CN.TRAINING.SAMPLE_WITH_REPLACEMENT = None
+_CN.TRAINING.LR = None
+_CN.TRAINING.LR_STEP_INTERVAL = None
+_CN.TRAINING.LR_STEP_GAMMA = None
+_CN.TRAINING.VAL_INTERVAL = None
+_CN.TRAINING.VAL_BATCHES = None
+_CN.TRAINING.LOG_INTERVAL = None
+_CN.TRAINING.EPOCHS = None
+_CN.TRAINING.GRAD_CLIP = 0.
+_CN.TRAINING.ROT_LOSS = 'rot_frobenius_loss'
+_CN.TRAINING.TRANS_LOSS = 'trans_l2_loss'
+_CN.TRAINING.LAMBDA = 1.0  # 0.0 -> Kendall learnable weighting
+
+############# TPU-native extensions #############
+_CN.TPU = CN()
+_CN.TPU.MESH_SHAPE = None       # e.g. [4] for a 4-chip data mesh; None = all devices
+_CN.TPU.MESH_AXES = ['data']    # mesh axis names
+_CN.TPU.COMPUTE_DTYPE = 'bfloat16'  # matmul/conv compute dtype ('float32' | 'bfloat16')
+_CN.TPU.PARAM_DTYPE = 'float32'
+_CN.TPU.REMAT = False           # rematerialise encoder activations
+_CN.TPU.SEED = 0
+_CN.TPU.PROFILE_DIR = None      # jax.profiler trace output dir
+_CN.TPU.INFER_BATCH = 8         # batched inference size for the submission sweep
+_CN.TPU.MAX_CORRESPONDENCES = 2048  # fixed-shape padding for the matching track
+_CN.TPU.RANSAC_ITERATIONS = 1024    # fixed hypothesis count for batched RANSAC
+
+cfg = _CN

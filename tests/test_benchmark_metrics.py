@@ -1,0 +1,157 @@
+"""Benchmark metric tests.
+
+Port of the reference's metric unit-test suite (reference:
+benchmark/test_metrics.py:29-174) with identical tolerances, rebuilt on the
+framework's own quaternion library instead of transforms3d.
+"""
+
+import numpy as np
+import pytest
+
+from mapfree_tpu.benchmark.metrics import Inputs, MetricManager
+from mapfree_tpu.benchmark.reprojection import project
+from mapfree_tpu.benchmark.utils import (
+    VARIANTS_ANGLE_COS,
+    VARIANTS_ANGLE_SIN,
+    precision_recall,
+)
+from mapfree_tpu.geom import axangle2quat, euler2quat, qmult, quat2mat, rotate_vector
+
+
+def createInput(q_gt=None, t_gt=None, q_est=None, t_est=None, confidence=None,
+                K=None, W=None, H=None):
+    q_gt = np.zeros(4) if q_gt is None else q_gt
+    t_gt = np.zeros(3) if t_gt is None else t_gt
+    q_est = np.zeros(4) if q_est is None else q_est
+    t_est = np.zeros(3) if t_est is None else t_est
+    confidence = 0.0 if confidence is None else confidence
+    K = np.eye(3) if K is None else K
+    H = 1 if H is None else H
+    W = 1 if W is None else W
+    return Inputs(q_gt=q_gt, t_gt=t_gt, q_est=q_est, t_est=t_est,
+                  confidence=confidence, K=K, W=W, H=H)
+
+
+def randomQuat():
+    angles = np.random.uniform(0, 2 * np.pi, 3)
+    return euler2quat(*angles)
+
+
+class TestMetrics:
+    @pytest.mark.parametrize("run_number", range(50))
+    def test_t_err_tinvariance(self, run_number):
+        mean, var = 5, 10
+        t0 = np.random.normal(mean, var, (3,))
+        displacement = np.random.normal(mean, var, (3,))
+        i = createInput(t_gt=t0, t_est=t0 + displacement)
+        assert np.isclose(MetricManager.trans_err(i), np.linalg.norm(displacement))
+
+    @pytest.mark.parametrize("run_number", range(50))
+    def test_trans_err_rinvariance(self, run_number):
+        mean, var = 5, 10
+        t0 = np.random.normal(mean, var, (3,))
+        t1 = np.random.normal(mean, var, (3,))
+        q = randomQuat()
+        trans_err = MetricManager.trans_err(createInput(t_gt=t0, t_est=t1))
+        trans_err_r = MetricManager.trans_err(
+            createInput(t_gt=rotate_vector(t0, q), t_est=rotate_vector(t1, q))
+        )
+        assert np.isclose(trans_err, trans_err_r)
+
+    @pytest.mark.parametrize("run_number", range(50))
+    @pytest.mark.parametrize("dtype", (np.float64, np.float32))
+    def test_rot_err_raxis(self, run_number, dtype):
+        q = randomQuat().astype(np.float64)
+        axis = np.random.uniform(low=-1, high=1, size=3).astype(np.float64)
+        angle = np.float64(np.random.uniform(low=-np.pi, high=np.pi))
+        qres = axangle2quat(axis, angle, is_normalized=False).astype(np.float64)
+
+        i = createInput(q_gt=q.astype(dtype), q_est=qmult(q, qres).astype(dtype))
+        rot_err = MetricManager.rot_err(i)
+        assert isinstance(rot_err, np.float64)
+        rot_err_expected = np.abs(np.degrees(angle))
+        assert 0.0 <= rot_err
+        rtol = 1.0e-5
+        atol = 1.0e-8
+        if isinstance(dtype, np.float32):
+            atol = 1.0e-7
+        assert np.isclose(rot_err, rot_err_expected, rtol=rtol, atol=atol)
+
+    @pytest.mark.parametrize("run_number", range(50))
+    def test_r_err_mat(self, run_number):
+        q0, q1 = randomQuat(), randomQuat()
+        rot_err = MetricManager.rot_err(createInput(q_gt=q0, q_est=q1))
+        R0, R1 = quat2mat(q0), quat2mat(q1)
+        Rres = R1 @ R0.T
+        theta = np.clip((np.trace(Rres) - 1) / 2, -1, 1)
+        angle = np.degrees(np.arccos(theta))
+        assert np.isclose(angle, rot_err)
+
+    def test_reproj_error_identity(self):
+        q = randomQuat()
+        t = np.random.normal(0, 10, (3,))
+        i = createInput(q_gt=q, t_gt=t, q_est=q, t_est=t)
+        assert np.isclose(MetricManager.reproj_err(i), 0)
+
+    @pytest.mark.parametrize("run_number", range(10))
+    @pytest.mark.parametrize("variant", (VARIANTS_ANGLE_SIN,))
+    @pytest.mark.parametrize("dtype", (np.float64,))
+    def test_r_err_small(self, run_number, variant, dtype):
+        scales_failed = []
+        for scale in np.logspace(start=-1, stop=-9, num=9, base=10, dtype=dtype):
+            q = randomQuat().astype(np.float64)
+            angle = np.float64(np.random.uniform(low=-np.pi, high=np.pi)) * scale
+            axis = np.random.uniform(low=-1.0, high=1.0, size=3).astype(np.float64)
+            qres = axangle2quat(axis, angle, is_normalized=False).astype(np.float64)
+
+            i = createInput(q_gt=q.astype(dtype), q_est=qmult(q, qres).astype(dtype))
+            rot_err = MetricManager.rot_err(i, variant=variant)
+            assert isinstance(rot_err, np.float64)
+            rot_err_expected = np.abs(np.degrees(angle))
+            assert 0.0 <= rot_err
+
+            tol = 0.1 * scale
+            if dtype == np.float32:
+                tol = 1.0e3 * scale
+
+            rot_err = rot_err.astype(dtype)
+            rot_err_expected = rot_err_expected.astype(dtype)
+            if variant == VARIANTS_ANGLE_SIN:
+                assert np.isclose(rot_err, rot_err_expected, rtol=tol, atol=tol)
+            elif variant == VARIANTS_ANGLE_COS:
+                if not np.isclose(rot_err, rot_err_expected, rtol=tol, atol=tol):
+                    scales_failed.append(scale)
+        if len(scales_failed):
+            pytest.fail(f"Variant {variant} failed at scales {scales_failed}")
+
+
+def test_projection():
+    xyz = np.array(
+        ((10, 20, 30), (10, 30, 50), (-20, -15, 5), (-20, -50, 10)), dtype=np.float32
+    )
+    K = np.eye(3)
+    uv = np.array(((1 / 3, 2 / 3), (1 / 5, 3 / 5), (-4, -3), (-2, -5)), np.float32)
+    assert np.allclose(uv, project(xyz, K))
+    uv = np.array(((1 / 3, 2 / 3), (1 / 5, 3 / 5), (0, 0), (0, 0)), np.float32)
+    assert np.allclose(uv, project(xyz, K, img_size=(5, 5)))
+
+
+def test_precision_recall_simple():
+    """Hand-checked PR sweep: confidence-ordered, failures in denominator."""
+    inliers = np.array([10.0, 9.0, 8.0, 7.0])
+    tp = np.array([1, 1, 0, 1])
+    prec, rec, ap = precision_recall(inliers, tp, failures=1)
+    # recall at the final threshold = 4 / (4 + 1)
+    assert np.isclose(rec[0], 4 / 5)
+    assert np.isclose(prec[0], 3 / 4)
+    # perfect-precision anchor point present
+    assert prec[-1] == 1 and rec[-1] == 0
+    assert 0 < ap <= 1
+
+
+def test_precision_recall_all_tp():
+    inliers = np.arange(10, dtype=float)
+    tp = np.ones(10)
+    _, rec, ap = precision_recall(inliers, tp, failures=0)
+    assert np.isclose(ap, 1.0)
+    assert np.isclose(rec[0], 1.0)
