@@ -1,12 +1,19 @@
 """Test configuration: force an 8-device virtual CPU platform so multi-chip
-sharding paths can be exercised without TPU hardware."""
+sharding paths can be exercised without TPU hardware.
+
+Note: the env var JAX_PLATFORMS alone is not honoured when a TPU plugin is
+installed; jax.config.update must be called before any computation.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
