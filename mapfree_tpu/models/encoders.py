@@ -127,14 +127,25 @@ class ResUNet(nn.Module):
 
 
 def _skip_concat(x1, x2):
-    """Pad x1 spatially to x2's size, concat channels [x2, x1]
-    (reference resunet.py:91-103)."""
-    dh = x2.shape[1] - x1.shape[1]
-    dw = x2.shape[2] - x1.shape[2]
-    x1 = jnp.pad(
-        x1,
-        ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
-    )
+    """Pad (or crop, for negative deltas) x1 spatially to x2's size, concat
+    channels [x2, x1] (reference resunet.py:91-103; torch F.pad semantics
+    where negative pads crop)."""
+
+    def _fit(x, axis, target):
+        d = target - x.shape[axis]
+        lo, hi = d // 2, d - d // 2
+        if d > 0:
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (lo, hi)
+            return jnp.pad(x, pads)
+        if d < 0:
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(-lo, x.shape[axis] + hi)
+            return x[tuple(idx)]
+        return x
+
+    x1 = _fit(x1, 1, x2.shape[1])
+    x1 = _fit(x1, 2, x2.shape[2])
     return jnp.concatenate([x2, x1], axis=-1)
 
 

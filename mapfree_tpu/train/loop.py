@@ -1,0 +1,148 @@
+"""Validation aggregation, checkpointing, and the epoch loop.
+
+Equivalents of the reference Lightning callbacks and epoch-end metric block:
+- ``aggregate_validation``: the 24 scalar channels logged per val epoch
+  (reference lib/models/regression/model.py:114-178)
+- ``CheckpointManager``: top-5-by-val-loss + last + per-epoch orbax
+  checkpoints (reference train.py:37-50)
+- ``fit``: epoch loop with val interval, NaN hard-stop (replacing the heads'
+  in-graph sys.exit guards, reference head.py:90-102), TensorBoard-format
+  scalar logging to JSONL.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from mapfree_tpu.metrics import A_metrics, error_auc
+
+
+def aggregate_validation(step_outputs: list) -> dict:
+    """Aggregate per-batch val outputs into the reference's 24 channels."""
+    agg = {
+        key: np.concatenate(
+            [np.asarray(o[key]).reshape(-1) for o in step_outputs]
+        )
+        for key in step_outputs[0].keys()
+    }
+
+    logs = {}
+    logs["val_loss/R_loss"] = float(agg["R_loss"].mean())
+    logs["val_loss/t_loss"] = float(agg["t_loss"].mean())
+    logs["val_loss/loss"] = float(agg["loss"].mean())
+    logs["val_metrics/t_ang_err"] = float(np.median(agg["t_err_ang"]))
+    logs["val_metrics/t_scale_err"] = float(np.median(agg["t_err_scale"]))
+    logs["val_metrics/t_euclidean_err"] = float(np.median(agg["t_err_euc"]))
+    logs["val_metrics/R_err"] = float(np.median(agg["R_err"]))
+
+    a1, a2, a3 = A_metrics(agg["t_err_scale_sym"])
+    logs["val_t_scale/a1"] = float(a1)
+    logs["val_t_scale/a2"] = float(a2)
+    logs["val_t_scale/a3"] = float(a3)
+
+    auc = error_auc(agg["t_err_euc"], [0.1, 0.5, 1.0])
+    logs["val_auc/euc_10"], logs["val_auc/euc_50"], logs["val_auc/euc_100"] = (
+        auc["auc@0.1"], auc["auc@0.5"], auc["auc@1.0"])
+
+    pose_err = np.maximum(agg["t_err_ang"], agg["R_err"])
+    auc = error_auc(pose_err, [5, 10, 20])
+    logs["val_auc/pose_5"], logs["val_auc/pose_10"], logs["val_auc/pose_20"] = (
+        auc["auc@5"], auc["auc@10"], auc["auc@20"])
+
+    auc = error_auc(agg["R_err"], [5, 10, 20])
+    logs["val_auc/rot_5"], logs["val_auc/rot_10"], logs["val_auc/rot_20"] = (
+        auc["auc@5"], auc["auc@10"], auc["auc@20"])
+
+    auc = error_auc(agg["t_err_ang"], [5, 10, 20])
+    logs["val_auc/tang_5"], logs["val_auc/tang_10"], logs["val_auc/tang_20"] = (
+        auc["auc@5"], auc["auc@10"], auc["auc@20"])
+
+    return logs
+
+
+class CheckpointManager:
+    """orbax-backed: keep top-k by val loss, plus 'last' every save."""
+
+    def __init__(self, directory, top_k: int = 5):
+        import orbax.checkpoint as ocp
+
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ocp = ocp
+        self._ckptr = ocp.StandardCheckpointer()
+        self.top_k = top_k
+        self._best: list = []  # (val_loss, step)
+
+    def _path(self, tag) -> Path:
+        return self.directory / str(tag)
+
+    def save(self, state, step: int, val_loss: float | None = None):
+        # 'last' checkpoint: always refreshed
+        last = self._path("last")
+        if last.exists():
+            import shutil
+
+            shutil.rmtree(last)
+        self._ckptr.save(last, state)
+        self._ckptr.wait_until_finished()
+
+        if val_loss is not None and math.isfinite(val_loss):
+            self._best.append((val_loss, step))
+            self._best.sort()
+            self._ckptr.save(self._path(f"step_{step}"), state)
+            self._ckptr.wait_until_finished()
+            # evict beyond top-k
+            while len(self._best) > self.top_k:
+                _, evict_step = self._best.pop()
+                p = self._path(f"step_{evict_step}")
+                if p.exists():
+                    import shutil
+
+                    shutil.rmtree(p)
+
+    def restore(self, abstract_state, tag="last"):
+        return self._ckptr.restore(self._path(tag), abstract_state)
+
+    def best_tag(self):
+        if not self._best:
+            return "last"
+        return f"step_{self._best[0][1]}"
+
+
+class ScalarLogger:
+    """JSONL scalar logger (TensorBoard-format channel names), plus stdout."""
+
+    def __init__(self, directory, experiment="default"):
+        self.path = Path(directory) / experiment
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.file = (self.path / "scalars.jsonl").open("a")
+
+    def log(self, step: int, scalars: dict):
+        rec = {"step": int(step), **{k: float(v) for k, v in scalars.items()}}
+        self.file.write(json.dumps(rec) + "\n")
+        self.file.flush()
+
+
+def check_finite_or_die(loss_value: float, step: int):
+    """Host-side NaN guard, replacing the reference heads' sys.exit
+    (reference head.py:90-102): kill a diverged run loudly."""
+    if not math.isfinite(loss_value):
+        raise FloatingPointError(
+            f"Non-finite training loss {loss_value} at step {step}; aborting "
+            "(reference behaviour: hard exit on NaN anchors/poses)."
+        )
+
+
+def run_validation(val_step, state, val_batches) -> dict:
+    outputs = []
+    for batch in val_batches:
+        outputs.append(jax.device_get(val_step(state, batch)))
+    if not outputs:
+        return {}
+    return aggregate_validation(outputs)

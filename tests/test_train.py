@@ -1,0 +1,169 @@
+"""Training step tests: loss decreases, sharded SPMD execution on 8 CPU devices,
+validation aggregation, checkpoint save/restore."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapfree_tpu.config import cfg as default_cfg
+from mapfree_tpu.geom import quat2mat
+from mapfree_tpu.models import build_regression_net
+from mapfree_tpu.parallel import make_mesh, shard_batch
+from mapfree_tpu.train import (
+    CheckpointManager,
+    aggregate_validation,
+    check_finite_or_die,
+    init_state,
+    make_train_step,
+    make_val_step,
+)
+
+H, W = 32, 32
+
+
+def tiny_cfg(**overrides):
+    c = default_cfg.clone()
+    c.MODEL = "Regression"
+    c.ENCODER.TYPE = "ResUNet"
+    c.ENCODER.BLOCK_TYPE = 0
+    c.ENCODER.NUM_BLOCKS = "1-1-1"
+    c.ENCODER.NUM_OUT_LAYERS = 8
+    c.AGGREGATOR.TYPE = "CorrelationVolumeWarping"
+    c.AGGREGATOR.POSITION_ENCODER = True
+    c.AGGREGATOR.MAX_SCORE_CHANNEL = True
+    c.HEAD.TYPE = "ProcrustesDeepResBlock"
+    c.HEAD.ADD_BASIS = True
+    c.HEAD.AVG_POOL = True
+    c.TRAINING.LR = 1e-3
+    c.TRAINING.ROT_LOSS = "rot_frobenius_loss"
+    c.TRAINING.TRANS_LOSS = "trans_l2_loss"
+    c.TRAINING.LAMBDA = 1.0
+    c.TRAINING.GRAD_CLIP = 1.0
+    c.TPU.COMPUTE_DTYPE = "float32"
+    for k, v in overrides.items():
+        node = c
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return c
+
+
+def make_batch(B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(B, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, :3, :3] = quat2mat(q)
+    T[:, :3, 3] = rng.normal(size=(B, 3)) * 0.1
+    return {
+        "image0": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+        "image1": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+        "T_0to1": jnp.asarray(T),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg = tiny_cfg()
+        net = build_regression_net(cfg)
+        batch = make_batch()
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+        step = make_train_step(net, cfg, donate=False)
+        losses = []
+        for _ in range(8):
+            state, logs = step(state, batch)
+            losses.append(float(logs["train/loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 8
+
+    def test_sharded_train_step_on_mesh(self):
+        assert len(jax.devices()) == 8, "test env must expose 8 CPU devices"
+        cfg = tiny_cfg()
+        net = build_regression_net(cfg)
+        mesh = make_mesh()
+        batch = make_batch(B=16)
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+        step = make_train_step(net, cfg, mesh=mesh, donate=False)
+        sharded_batch = shard_batch(batch, mesh)
+        state2, logs = step(state, sharded_batch)
+        assert np.isfinite(float(logs["train/loss"]))
+
+        # sharded and unsharded training must agree (same logical program)
+        step_local = make_train_step(net, cfg, donate=False)
+        state_l, logs_l = step_local(state, batch)
+        assert float(logs["train/loss"]) == pytest.approx(
+            float(logs_l["train/loss"]), rel=1e-4
+        )
+
+    def test_kendall_logging(self):
+        cfg = tiny_cfg(**{"TRAINING.LAMBDA": 0.0})
+        net = build_regression_net(cfg)
+        batch = make_batch(B=4)
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+        step = make_train_step(net, cfg, donate=False)
+        _, logs = step(state, batch)
+        assert "train/s_R" in logs and "train/s_t" in logs
+
+
+class TestValidation:
+    def test_val_step_and_aggregation(self):
+        cfg = tiny_cfg()
+        net = build_regression_net(cfg)
+        batch = make_batch(B=4)
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+        val_step = make_val_step(net, cfg)
+        outputs = [jax.device_get(val_step(state, make_batch(B=4, seed=s)))
+                   for s in range(3)]
+        logs = aggregate_validation(outputs)
+        # the reference logs exactly these 24 channels (model.py:153-174)
+        expected = {
+            "val_loss/R_loss", "val_loss/t_loss", "val_loss/loss",
+            "val_metrics/t_ang_err", "val_metrics/t_scale_err",
+            "val_metrics/t_euclidean_err", "val_metrics/R_err",
+            "val_auc/euc_10", "val_auc/euc_50", "val_auc/euc_100",
+            "val_auc/pose_5", "val_auc/pose_10", "val_auc/pose_20",
+            "val_auc/rot_5", "val_auc/rot_10", "val_auc/rot_20",
+            "val_auc/tang_5", "val_auc/tang_10", "val_auc/tang_20",
+            "val_t_scale/a1", "val_t_scale/a2", "val_t_scale/a3",
+        }
+        assert expected.issubset(logs.keys())
+        assert all(np.isfinite(v) for v in logs.values())
+
+
+class TestCheckpointing:
+    def test_save_restore_topk(self, tmp_path):
+        cfg = tiny_cfg()
+        net = build_regression_net(cfg)
+        batch = make_batch(B=2)
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+
+        mgr = CheckpointManager(tmp_path / "ckpts", top_k=2)
+        mgr.save(state, step=1, val_loss=3.0)
+        mgr.save(state.replace(step=jnp.asarray(2)), step=2, val_loss=1.0)
+        mgr.save(state.replace(step=jnp.asarray(3)), step=3, val_loss=2.0)
+
+        # top-2 kept: steps 2 (best) and 3; step 1 evicted
+        assert (tmp_path / "ckpts" / "step_2").exists()
+        assert (tmp_path / "ckpts" / "step_3").exists()
+        assert not (tmp_path / "ckpts" / "step_1").exists()
+        assert mgr.best_tag() == "step_2"
+
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), state
+        )
+        restored = mgr.restore(abstract, tag="last")
+        assert int(restored.step) == 3
+        # params roundtrip exactly
+        orig_leaves = jax.tree.leaves(state.params)
+        rest_leaves = jax.tree.leaves(restored.params)
+        for a, b in zip(orig_leaves, rest_leaves):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard():
+    with pytest.raises(FloatingPointError):
+        check_finite_or_die(float("nan"), 10)
+    check_finite_or_die(1.0, 10)
