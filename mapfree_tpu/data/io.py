@@ -1,0 +1,89 @@
+"""Host-side image/depth IO.
+
+Equivalent of reference lib/datasets/utils.py:7-81, returning NHWC numpy
+arrays (TPU-native layout; the reference returns CHW torch tensors). Decoding
+stays on host CPU; resize happens at decode time so the device program sees
+fixed shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def imread_rgb(path) -> np.ndarray:
+    """Read an image as RGB uint8 [H, W, 3]."""
+    if _HAS_CV2:
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"could not read image {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def read_color_image(path, resize=None, augment_fn=None) -> np.ndarray:
+    """Read, resize to (w, h), normalize to [0, 1] float32 NHWC
+    (reference lib/datasets/utils.py:58-74, minus the CHW permute)."""
+    image = imread_rgb(path)
+    if resize is not None:
+        if _HAS_CV2:
+            image = cv2.resize(image, tuple(resize))
+        else:  # pragma: no cover
+            from PIL import Image
+
+            image = np.asarray(Image.fromarray(image).resize(tuple(resize)))
+    image = image.astype(np.float32) / 255.0
+    if augment_fn is not None:
+        image = augment_fn(image)
+    return image  # (h, w, 3)
+
+
+def read_depth_image(path) -> np.ndarray:
+    """Read a 16-bit depth png in millimeters -> float32 meters [H, W]
+    (reference lib/datasets/utils.py:77-81)."""
+    if _HAS_CV2:
+        depth = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if depth is None:
+            raise FileNotFoundError(f"could not read depth {path}")
+    else:  # pragma: no cover
+        from PIL import Image
+
+        depth = np.asarray(Image.open(path))
+    return (depth / 1000.0).astype(np.float32)
+
+
+def grayscale3(image: np.ndarray) -> np.ndarray:
+    """Black & white augmentation keeping 3 channels
+    (reference datamodules.py:37-38 Grayscale(num_output_channels=3))."""
+    gray = image @ np.asarray([0.299, 0.587, 0.114], image.dtype)
+    return np.repeat(gray[..., None], 3, axis=-1)
+
+
+def color_jitter(rng: np.random.Generator, brightness=0.4, contrast=0.4,
+                 saturation=0.4, hue=0.0):
+    """Returns an augment_fn applying random brightness/contrast/saturation
+    (host-side equivalent of torchvision ColorJitter defaults used by the
+    reference datamodules.py:36)."""
+
+    def fn(image: np.ndarray) -> np.ndarray:
+        out = image
+        b = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+        out = out * b
+        c = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        mean = out.mean()
+        out = (out - mean) * c + mean
+        s = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        gray = out @ np.asarray([0.299, 0.587, 0.114], out.dtype)
+        out = (out - gray[..., None]) * s + gray[..., None]
+        return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+    return fn

@@ -1,0 +1,94 @@
+"""Batched host-side data loading with prefetch.
+
+The TPU replacement for torch DataLoader (reference
+lib/datasets/datamodules.py:35-70): a thread pool decodes/loads samples, a
+collator stacks them into fixed-shape NHWC numpy batches, and a small prefetch
+queue overlaps host IO with device compute. Numeric fields are stacked;
+string/metadata fields are collected into lists (same contract the reference
+gets from torch's default collate).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_NUMERIC_KEYS = {
+    "image0", "image1", "depth0", "depth1", "T_0to1",
+    "abs_q_0", "abs_c_0", "abs_q_1", "abs_c_1",
+    "K_color0", "K_color1", "sim", "pair_id",
+    "abs_q_1_w2c_device", "abs_q_1_c2w_device", "abs_c_1_c2w_device",
+    "abs_q_1_c2w_multi", "abs_c_1_c2w_multi",
+}
+
+
+def collate(samples: list) -> dict:
+    """Stack numeric fields to [B, ...] arrays; gather metadata into lists."""
+    batch = {}
+    for key in samples[0].keys():
+        vals = [s[key] for s in samples]
+        if key in _NUMERIC_KEYS:
+            batch[key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            batch[key] = list(vals)
+    return batch
+
+
+class DataLoader:
+    """Iterates fixed-size batches over a dataset given an index sampler."""
+
+    def __init__(self, dataset, batch_size: int, sampler=None, shuffle: bool = False,
+                 num_workers: int = 1, drop_last: bool = False, prefetch: int = 2,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            idx = self._rng.permutation(idx)
+        return idx.tolist()
+
+    def __len__(self):
+        n = len(self._indices()) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        indices = self._indices()
+        batches = [
+            indices[i: i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                for b in batches:
+                    samples = list(ex.map(self.dataset.__getitem__, b))
+                    q.put(collate(samples))
+            q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,338 @@
+"""MapFree dataset: scene parsing, pair generation, sample loading.
+
+Behavioural equivalent of reference lib/datasets/mapfree.py:16-420, re-built
+for the TPU pipeline: samples are NHWC numpy dicts with the same key contract
+({image0, image1, depth0, depth1, T_0to1, abs_q/c_*, K_color0/1, scene_id,
+pair_id, pair_names, sim}), collated into fixed-shape batches by
+:mod:`mapfree_tpu.data.loader`.
+
+Pair semantics preserved exactly:
+- train scenes: pairs from overlaps.npz filtered to (MIN, MAX) overlap
+  (reference mapfree.py:85-147);
+- val/test scenes: (seq0/frame_00000, every 5th query frame)
+  (reference mapfree.py:148-164);
+- multi-frame: windows of QUERY_FRAME_COUNT consecutive valid frames ending at
+  the query frame, with device-tracking poses from poses_device.txt
+  (reference mapfree.py:91-143, 165-202, 273-365).
+"""
+
+from __future__ import annotations
+
+import re
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from mapfree_tpu.data.io import read_color_image, read_depth_image
+from mapfree_tpu.geom.projection import correct_intrinsic_scale
+from mapfree_tpu.geom.quaternion import (
+    qinverse,
+    quat2mat,
+    relative_pose_wxyz,
+    rotate_vector,
+)
+
+_FRAME_NUM_RE = re.compile(r"_(\d+)\..*$")
+
+
+def read_intrinsics(scene_root: Path, resize=None) -> dict:
+    Ks = {}
+    with (scene_root / "intrinsics.txt").open("r") as f:
+        for line in f.readlines():
+            if "#" in line:
+                continue
+            parts = line.strip().split(" ")
+            img_name = parts[0]
+            fx, fy, cx, cy, W, H = map(float, parts[1:])
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
+            if resize is not None:
+                K = correct_intrinsic_scale(K, resize[0] / W, resize[1] / H).astype(
+                    np.float32
+                )
+            Ks[img_name] = K
+    return Ks
+
+
+def read_poses(scene_root: Path, filename: str = "poses.txt") -> dict:
+    """img_path -> (q, t) world-to-camera: X_c = R(q) X_w + t."""
+    poses = {}
+    with (scene_root / filename).open("r") as f:
+        for line in f.readlines():
+            if "#" in line:
+                continue
+            parts = line.strip().split(" ")
+            qt = np.array(list(map(float, parts[1:])))
+            poses[parts[0]] = (qt[:4], qt[4:])
+    return poses
+
+
+def _train_pairs(scene_root: Path, overlap_limits, sample_offset: int):
+    f = np.load(scene_root / "overlaps.npz", allow_pickle=True)
+    idxs, overlaps = f["idxs"], f["overlaps"]
+
+    if sample_offset > 0:
+        # all frame ids that appear in any pair, per sequence (pre-filter!)
+        valid_frame_ids = {
+            seq: sorted(
+                set(idxs[idxs[:, 0] == seq, 1]) | set(idxs[idxs[:, 2] == seq, 3])
+            )
+            for seq in (0, 1)
+        }
+        frame_rank = {
+            seq: {fid: i for i, fid in enumerate(valid_frame_ids[seq])}
+            for seq in (0, 1)
+        }
+
+    if overlap_limits is not None:
+        lo, hi = overlap_limits
+        mask = np.logical_and(lo < overlaps, overlaps < hi)
+        idxs = idxs[mask]
+
+    if sample_offset == 0:
+        return [tuple(row) for row in idxs]
+
+    # multi-frame: a window of `sample_offset` consecutive valid frames ending
+    # at imgB, provided the window exists and the map frame does not fall
+    # inside it (reference mapfree.py:117-141)
+    out = []
+    for seqA, imgA, seqB, imgB in idxs:
+        ranks = frame_rank[seqB]
+        fids = valid_frame_ids[seqB]
+        r = ranks[imgB]
+        start = r - sample_offset + 1
+        if start < 0:
+            continue
+        if not (seqA != seqB or imgA < fids[start] or imgB < imgA):
+            continue
+        window = tuple(fids[start + i] for i in range(sample_offset))
+        out.append((seqA, imgA, seqB, window))
+    return out
+
+
+def _eval_pairs(poses: dict, sample_factor: int, sample_offset: int):
+    frames = sorted(
+        int(_FRAME_NUM_RE.search(fn).group(1))
+        for fn in poses.keys()
+        if "seq0" not in fn
+    )
+    rows = [(0, 0, 1, f) for f in frames]
+    if sample_offset == 0:
+        return rows[0::sample_factor]
+    # multi-frame: every sample_factor-th row starting at sample_offset, with
+    # the window being the preceding rows (reference mapfree.py:165-202)
+    out = []
+    for i in range(sample_offset, len(rows), sample_factor):
+        window = tuple(rows[j][3] for j in range(i - sample_offset + 1, i + 1))
+        out.append((0, 0, 1, window))
+    return out
+
+
+class MapFreeScene:
+    """One scene: a reference seq0 frame + query seq1 frames (or train pairs)."""
+
+    multi_frame = False
+
+    def __init__(self, scene_root, resize, sample_factor=1, overlap_limits=None,
+                 transforms=None, estimated_depth=None, sample_offset: int = 0):
+        self.scene_root = Path(scene_root)
+        self.resize = resize
+        self.sample_factor = sample_factor
+        self.sample_offset = sample_offset
+        self.transforms = transforms
+        self.estimated_depth = estimated_depth
+
+        self.poses = read_poses(self.scene_root)
+        self.K = read_intrinsics(self.scene_root, resize)
+        if (self.scene_root / "overlaps.npz").exists():
+            self.pairs = _train_pairs(self.scene_root, overlap_limits, sample_offset)
+        else:
+            self.pairs = _eval_pairs(self.poses, sample_factor, sample_offset)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def get_pair_path(self, pair):
+        seqA, imgA, seqB, imgB = pair
+        return (f"seq{seqA}/frame_{imgA:05}.jpg", f"seq{seqB}/frame_{imgB:05}.jpg")
+
+    def _read_depth(self, im_path):
+        dpath = str(self.scene_root / im_path).replace(
+            ".jpg", f".{self.estimated_depth}.png"
+        )
+        return read_depth_image(dpath)
+
+    def _relative_pose(self, im1_path, im2_path):
+        q1, t1 = self.poses[im1_path]
+        q2, t2 = self.poses[im2_path]
+        c1 = rotate_vector(-t1, qinverse(q1))  # camera centers, world coords
+        c2 = rotate_vector(-t2, qinverse(q2))
+        q12, t12 = relative_pose_wxyz(q1, t1, q2, t2)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = quat2mat(q12)
+        T[:3, -1] = t12
+        return T, (q1, c1), (q2, c2)
+
+    def __getitem__(self, index):
+        im1_path, im2_path = self.get_pair_path(self.pairs[index])
+
+        image1 = read_color_image(self.scene_root / im1_path, self.resize,
+                                  augment_fn=self.transforms)
+        image2 = read_color_image(self.scene_root / im2_path, self.resize,
+                                  augment_fn=self.transforms)
+        if self.estimated_depth is not None:
+            depth1 = self._read_depth(im1_path)
+            depth2 = self._read_depth(im2_path)
+        else:
+            depth1 = depth2 = np.zeros((0,), np.float32)
+
+        T, (q1, c1), (q2, c2) = self._relative_pose(im1_path, im2_path)
+
+        return {
+            "image0": image1,  # (h, w, 3)
+            "depth0": depth1,  # (h, w)
+            "image1": image2,
+            "depth1": depth2,
+            "T_0to1": T,  # (4, 4) relative pose
+            "abs_q_0": q1,
+            "abs_c_0": c1,
+            "abs_q_1": q2,
+            "abs_c_1": c2,
+            "K_color0": self.K[im1_path].copy(),
+            "K_color1": self.K[im2_path].copy(),
+            "dataset_name": "Mapfree",
+            "scene_id": self.scene_root.stem,
+            "scene_root": str(self.scene_root),
+            "pair_id": index * self.sample_factor,
+            "pair_names": (im1_path, im2_path),
+            "sim": 0.0,  # 7Scenes eval compatibility
+        }
+
+
+class MapFreeSceneMultiFrame(MapFreeScene):
+    """Query is a window of frames; device-tracking poses are attached
+    (reference mapfree.py:273-365)."""
+
+    multi_frame = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.poses_device = read_poses(self.scene_root, "poses_device.txt")
+
+    def get_pair_path(self, pair):
+        seqA, imgA, seqB, imgB = pair
+        return (
+            f"seq{seqA}/frame_{imgA:05}.jpg",
+            tuple(f"seq{seqB}/frame_{b:05}.jpg" for b in imgB),
+        )
+
+    def __getitem__(self, index):
+        im1_path, im2_paths = self.get_pair_path(self.pairs[index])
+
+        image1 = read_color_image(self.scene_root / im1_path, self.resize,
+                                  augment_fn=self.transforms)
+        image2 = np.stack([
+            read_color_image(self.scene_root / p, self.resize,
+                             augment_fn=self.transforms)
+            for p in im2_paths
+        ])
+        if self.estimated_depth is not None:
+            depth1 = self._read_depth(im1_path)
+            depth2 = np.stack([self._read_depth(p) for p in im2_paths])
+        else:
+            depth1 = depth2 = np.zeros((0,), np.float32)
+
+        # the LAST window frame is the query frame
+        T, (q1, c1), (q2, c2) = self._relative_pose(im1_path, im2_paths[-1])
+
+        data = {
+            "image0": image1,            # (h, w, 3)
+            "depth0": depth1,
+            "image1": image2,            # (F, h, w, 3)
+            "depth1": depth2,
+            "T_0to1": T,
+            "abs_q_0": q1,
+            "abs_c_0": c1,
+            "abs_q_1": q2,
+            "abs_c_1": c2,
+            "K_color0": self.K[im1_path].copy(),
+            "K_color1": self.K[im2_paths[-1]].copy(),
+            "dataset_name": "Mapfree",
+            "scene_id": self.scene_root.stem,
+            "scene_root": str(self.scene_root),
+            "pair_id": index * self.sample_factor,
+            "pair_names": (im1_path, im2_paths),
+            "sim": 0.0,
+        }
+
+        if self.poses_device is not None:
+            qd, td = zip(*(self.poses_device[p] for p in im2_paths))
+            data["abs_q_1_w2c_device"] = np.stack(qd)
+            data["abs_q_1_c2w_device"] = np.stack([qinverse(q) for q in qd])
+            data["abs_c_1_c2w_device"] = np.stack(td)
+            q_c2w = [qinverse(q) for q in qd]
+            t_c2w = [rotate_vector(-t, q) for q, t in zip(q_c2w, td)]
+            data["abs_q_1_c2w_multi"] = np.stack(q_c2w)
+            data["abs_c_1_c2w_multi"] = np.stack(t_c2w)
+        return data
+
+
+class ConcatDataset:
+    """Minimal concat-of-datasets with cumulative index mapping."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        sizes = [len(d) for d in self.datasets]
+        self.cumulative_sizes = np.cumsum(sizes).tolist()
+
+    def __len__(self):
+        return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self.cumulative_sizes, idx, side="right"))
+        lo = 0 if d == 0 else self.cumulative_sizes[d - 1]
+        return self.datasets[d][idx - lo]
+
+
+class MapFreeDataset(ConcatDataset):
+    def __init__(self, cfg, mode, transforms=None):
+        assert mode in ("train", "val", "test"), "Invalid dataset mode"
+
+        scenes = cfg.DATASET.SCENES
+        data_root = Path(cfg.DATASET.DATA_ROOT) / mode
+        resize = (cfg.DATASET.WIDTH, cfg.DATASET.HEIGHT)
+        estimated_depth = cfg.DATASET.ESTIMATED_DEPTH
+        overlap_limits = (cfg.DATASET.MIN_OVERLAP_SCORE, cfg.DATASET.MAX_OVERLAP_SCORE)
+        assert isinstance(cfg.DATASET.QUERY_FRAME_COUNT, int)
+
+        if cfg.DATASET.QUERY_FRAME_COUNT == 1:
+            sample_factor = {"train": 1, "val": 5, "test": 5}[mode]
+            sample_offset = 0
+            scene_cls = MapFreeScene
+        else:
+            sample_factor = cfg.DATASET.QUERY_FRAME_COUNT + 1
+            sample_offset = cfg.DATASET.QUERY_FRAME_COUNT
+            scene_cls = MapFreeSceneMultiFrame
+
+        if scenes is None:
+            scenes = sorted(s.name for s in data_root.iterdir() if s.is_dir())
+        else:
+            scenes = [s for s in scenes if (data_root / s).exists()]
+
+        workers = max(1, int(cfg.TRAINING.NUM_WORKERS or 1))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            data_srcs = list(
+                ex.map(
+                    lambda scene: scene_cls(
+                        scene_root=data_root / scene,
+                        resize=resize,
+                        sample_factor=sample_factor,
+                        overlap_limits=overlap_limits,
+                        transforms=transforms,
+                        estimated_depth=estimated_depth,
+                        sample_offset=sample_offset,
+                    ),
+                    scenes,
+                )
+            )
+        super().__init__(data_srcs)

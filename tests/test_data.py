@@ -1,0 +1,149 @@
+"""Data pipeline tests on synthetic MapFree scenes: pair generation, sample
+contract, relative-pose correctness, sampler balance, loader collation."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_device_poses, make_scene
+
+from mapfree_tpu.config import cfg as default_cfg
+from mapfree_tpu.data import DataLoader, MapFreeDataset, RandomConcatSampler
+from mapfree_tpu.data.mapfree import MapFreeScene, MapFreeSceneMultiFrame
+from mapfree_tpu.geom import quat2mat
+
+
+@pytest.fixture
+def scene_eval(tmp_path):
+    root = tmp_path / "val" / "s00001"
+    poses = make_scene(root, n_queries=12, train=False)
+    return root, poses
+
+
+@pytest.fixture
+def scene_train(tmp_path):
+    root = tmp_path / "train" / "s00002"
+    poses = make_scene(root, n_queries=12, train=True, seed=1)
+    return root, poses
+
+
+class TestPairGeneration:
+    def test_eval_pairs_every_5th(self, scene_eval):
+        root, _ = scene_eval
+        scene = MapFreeScene(root, resize=(54, 72), sample_factor=5)
+        # queries 0, 5, 10 out of 12
+        assert len(scene) == 3
+        assert [p[3] for p in scene.pairs] == [0, 5, 10]
+        assert all(p[0] == 0 and p[1] == 0 and p[2] == 1 for p in scene.pairs)
+
+    def test_train_pairs_overlap_filtered(self, scene_train):
+        root, _ = scene_train
+        f = np.load(root / "overlaps.npz", allow_pickle=True)
+        expected = np.logical_and(0.3 < f["overlaps"], f["overlaps"] < 0.8).sum()
+        scene = MapFreeScene(root, resize=(54, 72), overlap_limits=(0.3, 0.8))
+        assert len(scene) == expected
+
+    def test_multiframe_eval_windows(self, scene_eval):
+        root, poses = scene_eval
+        make_device_poses(root, poses)
+        scene = MapFreeSceneMultiFrame(
+            root, resize=(54, 72), sample_factor=10, sample_offset=9
+        )
+        # 12 queries -> one window ending at frame index 9
+        assert len(scene) == 1
+        seqA, imgA, seqB, window = scene.pairs[0]
+        assert window == tuple(range(1, 10))
+
+
+class TestSampleContract:
+    def test_getitem_keys_and_shapes(self, scene_eval):
+        root, _ = scene_eval
+        scene = MapFreeScene(root, resize=(54, 72), sample_factor=5)
+        s = scene[0]
+        assert s["image0"].shape == (72, 54, 3)
+        assert s["image1"].shape == (72, 54, 3)
+        assert s["T_0to1"].shape == (4, 4)
+        assert s["K_color0"].shape == (3, 3)
+        for key in ("abs_q_0", "abs_c_0", "abs_q_1", "abs_c_1", "scene_id",
+                    "pair_id", "pair_names", "sim", "dataset_name"):
+            assert key in s
+        assert 0.0 <= s["image0"].min() and s["image0"].max() <= 1.0
+
+    def test_relative_pose_matches_gt(self, scene_eval):
+        """With identity reference pose, T_0to1 must equal the query w2c pose."""
+        root, poses = scene_eval
+        scene = MapFreeScene(root, resize=(54, 72), sample_factor=5)
+        s = scene[1]  # query frame 5
+        q, t = poses["seq1/frame_00005.jpg"]
+        assert np.allclose(s["T_0to1"][:3, :3], quat2mat(q), atol=1e-6)
+        assert np.allclose(s["T_0to1"][:3, 3], t, atol=1e-6)
+
+    def test_depth_loading(self, tmp_path):
+        root = tmp_path / "val" / "s00003"
+        make_scene(root, n_queries=5, depth_suffix="dptnyu")
+        scene = MapFreeScene(root, resize=(54, 72), sample_factor=5,
+                             estimated_depth="dptnyu")
+        s = scene[0]
+        assert s["depth0"].shape == (72, 54)
+        assert 0.4 < s["depth0"].mean() < 5.1  # mm -> meters conversion
+
+    def test_multiframe_sample(self, scene_eval):
+        root, poses = scene_eval
+        make_device_poses(root, poses)
+        scene = MapFreeSceneMultiFrame(root, resize=(54, 72), sample_factor=10,
+                                       sample_offset=9)
+        s = scene[0]
+        assert s["image1"].shape == (9, 72, 54, 3)
+        assert s["abs_q_1_w2c_device"].shape == (9, 4)
+        assert s["abs_c_1_c2w_multi"].shape == (9, 3)
+        # relative pose refers to the LAST window frame
+        q, t = poses["seq1/frame_00009.jpg"]
+        assert np.allclose(s["T_0to1"][:3, :3], quat2mat(q), atol=1e-6)
+
+
+class TestDatasetAndLoader:
+    def _make_cfg(self, tmp_path):
+        c = default_cfg.clone()
+        c.DATASET.DATA_SOURCE = "MapFree"
+        c.DATASET.DATA_ROOT = str(tmp_path)
+        c.DATASET.HEIGHT = 72
+        c.DATASET.WIDTH = 54
+        c.DATASET.MIN_OVERLAP_SCORE = 0.0
+        c.DATASET.MAX_OVERLAP_SCORE = 1.0
+        c.TRAINING.NUM_WORKERS = 2
+        c.TRAINING.BATCH_SIZE = 4
+        return c
+
+    def test_concat_dataset_and_loader(self, tmp_path):
+        for i in range(2):
+            make_scene(tmp_path / "val" / f"s{i:05}", n_queries=12, seed=i)
+        c = self._make_cfg(tmp_path)
+        ds = MapFreeDataset(c, "val")
+        assert len(ds) == 6  # 2 scenes x 3 subsampled queries
+        loader = DataLoader(ds, batch_size=4, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["image0"].shape == (4, 72, 54, 3)
+        assert b["T_0to1"].shape == (4, 4, 4)
+        assert isinstance(b["scene_id"], list) and len(b["scene_id"]) == 4
+
+    def test_scene_balanced_sampler(self, tmp_path):
+        make_scene(tmp_path / "train" / "a", n_queries=20, train=True, seed=0)
+        make_scene(tmp_path / "train" / "b", n_queries=4, train=True, seed=1)
+        c = self._make_cfg(tmp_path)
+        ds = MapFreeDataset(c, "train")
+        sampler = RandomConcatSampler(ds, n_samples_per_subset=10,
+                                      subset_replacement=True)
+        idx = list(iter(sampler))
+        assert len(idx) == 20
+        n_first = sum(1 for i in idx if i < ds.cumulative_sizes[0])
+        assert n_first == 10  # balanced despite size imbalance
+
+    def test_sampler_reset_on_iter(self, tmp_path):
+        make_scene(tmp_path / "train" / "a", n_queries=20, train=True, seed=0)
+        c = self._make_cfg(tmp_path)
+        ds = MapFreeDataset(c, "train")
+        sampler = RandomConcatSampler(ds, 5, True, reset_on_iter=True)
+        assert list(iter(sampler)) == list(iter(sampler))
+        sampler2 = RandomConcatSampler(ds, 5, True, reset_on_iter=False)
+        assert list(iter(sampler2)) != list(iter(sampler2))
