@@ -1,0 +1,368 @@
+"""Batched essential-matrix estimation: 8-point RANSAC, cheirality, scale.
+
+TPU-native replacement for the reference's OpenCV path
+(reference lib/models/matching/pose_solver.py:20-172):
+- ``cv.findEssentialMat(USAC_MAGSAC)`` -> fixed-budget 8-point RANSAC with
+  Sampson scoring + one inlier refit (vmapped minimal solver, no host loops);
+- ``cv.recoverPose`` -> closed-form SVD decomposition of E into 4 candidate
+  (R, t) + batched two-view cheirality depth count;
+- metric scale from depth -> vectorised per-inlier scale hypotheses with the
+  reference's 1-D scale-RANSAC (pose_solver.py:157-172) or mean aggregation.
+
+All functions operate on normalized image coordinates with validity masks and
+are jit/vmap-safe (float32; the 3x3 algebra is done with f32 matmuls which is
+ample at the inlier refit stage).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mapfree_tpu.ops.ransac import inlier_mask, masked_sample_indices, msac_score
+
+
+def normalize_keypoints(kpts, K):
+    """Pixel -> normalized camera coordinates (reference pose_solver.py:39-40)."""
+    f = jnp.stack([K[..., 0, 0], K[..., 1, 1]], axis=-1)  # [..., 2]
+    c = jnp.stack([K[..., 0, 2], K[..., 1, 2]], axis=-1)
+    return (kpts - c[..., None, :]) / f[..., None, :]
+
+
+def _eight_point(x0, x1, w):
+    """Weighted 8-point algorithm on normalized coords.
+
+    Args:
+        x0, x1: [M, 2] normalized coordinates (M >= 8).
+        w: [M] weights (0 for padding).
+    Returns:
+        E: [3, 3] essential matrix (projected onto the essential manifold).
+    """
+    u0, v0 = x0[:, 0], x0[:, 1]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    ones = jnp.ones_like(u0)
+    # epipolar constraint x1^T E x0 = 0, row per correspondence
+    A = jnp.stack(
+        [u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1
+    )  # [M, 9]
+    A = A * w[:, None]
+    # nullspace via eigh of A^T A (9x9, symmetric PSD) — cheaper and more
+    # vmap-friendly than SVD of [M, 9]
+    _, V = jnp.linalg.eigh(A.T @ A)
+    e = V[:, 0]  # eigenvector of smallest eigenvalue
+    E = e.reshape(3, 3)
+    # project to essential manifold: singular values -> (s, s, 0)
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[0] + S[1]) / 2.0
+    return (U * jnp.asarray([s, s, 0.0])) @ Vt
+
+
+def sampson_sq(E, x0, x1):
+    """Squared Sampson distance of the epipolar constraint, [N]."""
+    x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)  # [N, 3]
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    Ex0 = x0h @ E.T  # [N, 3]
+    Etx1 = x1h @ E
+    num = jnp.sum(x1h * Ex0, axis=-1) ** 2
+    den = Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2 + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _skew(v):
+    zero = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], zero], -1),
+        ],
+        -2,
+    )
+
+
+def refine_essential_gn(E0, x0, x1, weights, n_iters: int = 8, damping: float = 1e-8):
+    """Gauss-Newton polish of E on the essential manifold.
+
+    Parametrises E = [t]_x R via (rvec, t) recovered by cheirality-free
+    decomposition, minimises the weighted Sampson residuals. This is the
+    accuracy step the 8-point linear solve lacks under pixel noise (OpenCV's
+    USAC pipelines do an equivalent final LM polish).
+    """
+    from mapfree_tpu.geom.rotation import inv_rodrigues, rodrigues
+
+    R1, R2, t = decompose_E(E0)
+    # pick the R candidate whose [t]_x R best matches E0 in Frobenius norm
+    def align(R):
+        Ecand = _skew(t) @ R
+        scale = jnp.sum(Ecand * E0) / jnp.maximum(jnp.sum(Ecand * Ecand), 1e-12)
+        return jnp.sum((scale * Ecand - E0) ** 2)
+
+    use_R1 = align(R1) < align(R2)
+    R_init = jnp.where(use_R1, R1, R2)
+    params0 = jnp.concatenate([inv_rodrigues(R_init), t])
+
+    def make_E(params):
+        R = rodrigues(params[:3])
+        tt = params[3:]
+        tt = tt / jnp.maximum(jnp.linalg.norm(tt), 1e-12)
+        return _skew(tt) @ R
+
+    def residual(params):
+        E = make_E(params)
+        return jnp.sqrt(sampson_sq(E, x0, x1) + 1e-16) * weights
+
+    def step(params, _):
+        r = residual(params)
+        J = jax.jacfwd(residual)(params)  # [N, 6]
+        JtJ = J.T @ J + damping * jnp.eye(6)
+        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        new_params = params - delta
+        better = jnp.sum(residual(new_params) ** 2) < jnp.sum(r**2)
+        return jnp.where(better, new_params, params), None
+
+    params, _ = jax.lax.scan(step, params0, None, length=n_iters)
+    return make_E(params)
+
+
+def decompose_E(E):
+    """E -> (R1, R2, t) candidates via SVD (cf. the reference's numpy variant
+    at lib/utils/localize.py:872-889)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    return R1, R2, t
+
+
+def _two_view_depths(R, t, x0, x1):
+    """Solve z1 * f1 = z0 * R f0 + t in least squares for each correspondence.
+
+    f0/f1 are homogeneous rays of the normalized coords. Returns (z0, z1) [N].
+    """
+    f0 = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)  # [N, 3]
+    f1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    Rf0 = f0 @ R.T  # [N, 3]
+    # normal equations for [z0, z1]: [Rf0, -f1] z = -t
+    a = jnp.sum(Rf0 * Rf0, axis=-1)
+    b = -jnp.sum(Rf0 * f1, axis=-1)
+    d = jnp.sum(f1 * f1, axis=-1)
+    r0 = -jnp.sum(Rf0 * t, axis=-1)
+    r1 = jnp.sum(f1 * t, axis=-1)
+    det = a * d - b * b
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    z0 = (d * r0 - b * r1) / det
+    z1 = (a * r1 - b * r0) / det
+    return z0, z1
+
+
+def cheirality_pose(E, x0, x1, mask, max_depth=1e9):
+    """Pick the (R, t) candidate with the most points in front of both
+    cameras (cv.recoverPose equivalent, reference pose_solver.py:54-61)."""
+    R1, R2, t = decompose_E(E)
+    candidates = (
+        (R1, t), (R1, -t), (R2, t), (R2, -t),
+    )
+
+    def count(Rt):
+        R, tt = Rt
+        z0, z1 = _two_view_depths(R, tt, x0, x1)
+        ok = (z0 > 0) & (z1 > 0) & (z0 < max_depth) & (z1 < max_depth) & mask
+        return jnp.sum(ok.astype(jnp.int32)), ok
+
+    counts_masks = [count(c) for c in candidates]
+    counts = jnp.stack([c for c, _ in counts_masks])
+    masks = jnp.stack([m for _, m in counts_masks])
+    Rs = jnp.stack([c[0] for c in candidates])
+    ts = jnp.stack([c[1] for c in candidates])
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], counts[best], masks[best]
+
+
+def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
+    """Single-pair 8-point RANSAC with one least-squares refit on inliers.
+
+    Args:
+        kpts0_n, kpts1_n: [N, 2] normalized coordinates.
+        mask: [N] validity.
+        thr: scalar inlier threshold in normalized units.
+        n_iters: hypothesis budget.
+    Returns:
+        E [3, 3], inliers [N] bool, valid (bool scalar: >= 5 valid points).
+    """
+    thr_sq = thr * thr
+    idx = masked_sample_indices(key, mask, n_iters, 8)  # [It, 8]
+
+    def solve_one(sample_idx):
+        x0 = kpts0_n[sample_idx]
+        x1 = kpts1_n[sample_idx]
+        w = mask[sample_idx].astype(kpts0_n.dtype)
+        return _eight_point(x0, x1, w)
+
+    Es = jax.vmap(solve_one)(idx)  # [It, 3, 3]
+    residuals = jax.vmap(lambda E: sampson_sq(E, kpts0_n, kpts1_n))(Es)  # [It, N]
+    scores = msac_score(residuals, mask, thr_sq)
+
+    # local optimisation on the TOP-K hypotheses (vmapped), not just the best:
+    # iterated reweighted 8-point refits + a Gauss-Newton manifold polish.
+    # Polishing several basins is what keeps contaminated-but-lucky samples
+    # from winning under noise (the failure mode of single-candidate LO).
+    top_k = 16
+    _, top_idx = jax.lax.top_k(-scores, top_k)
+
+    def local_opt(E0, res0, score0):
+        E_cur, res_cur, score_cur = E0, res0, score0
+        for _ in range(3):
+            inl = inlier_mask(res_cur, mask, thr_sq)
+            w = inl.astype(kpts0_n.dtype) / jnp.sqrt(1.0 + res_cur / thr_sq)
+            E_refit = _eight_point(kpts0_n, kpts1_n, w)
+            refit_res = sampson_sq(E_refit, kpts0_n, kpts1_n)
+            refit_score = msac_score(refit_res, mask, thr_sq)
+            use = refit_score < score_cur
+            E_cur = jnp.where(use, E_refit, E_cur)
+            res_cur = jnp.where(use, refit_res, res_cur)
+            score_cur = jnp.where(use, refit_score, score_cur)
+        # manifold polish: IRLS Gauss-Newton on (R, t) with Cauchy weights
+        # over all valid points (robust M-estimation, the role MAGSAC's sigma
+        # marginalisation plays in the reference's OpenCV path)
+        for _ in range(2):
+            w = mask.astype(kpts0_n.dtype) / (1.0 + res_cur / thr_sq)
+            E_gn = refine_essential_gn(E_cur, kpts0_n, kpts1_n, w)
+            gn_res = sampson_sq(E_gn, kpts0_n, kpts1_n)
+            gn_score = msac_score(gn_res, mask, thr_sq)
+            use = gn_score < score_cur
+            E_cur = jnp.where(use, E_gn, E_cur)
+            res_cur = jnp.where(use, gn_res, res_cur)
+            score_cur = jnp.where(use, gn_score, score_cur)
+        return E_cur, res_cur, score_cur
+
+    E_c, res_c, score_c = jax.vmap(local_opt)(
+        Es[top_idx], residuals[top_idx], scores[top_idx]
+    )
+    winner = jnp.argmin(score_c)
+    E_final = E_c[winner]
+    res_final = res_c[winner]
+    score_final = score_c[winner]
+
+    # EM-style final convergence on the winner: alternate inlier extraction
+    # with a GN polish, keeping the best score seen
+    for _ in range(2):
+        inl = inlier_mask(res_final, mask, thr_sq)
+        E_em = refine_essential_gn(E_final, kpts0_n, kpts1_n,
+                                   inl.astype(kpts0_n.dtype), n_iters=8)
+        em_res = sampson_sq(E_em, kpts0_n, kpts1_n)
+        em_score = msac_score(em_res, mask, thr_sq)
+        use = em_score < score_final
+        E_final = jnp.where(use, E_em, E_final)
+        res_final = jnp.where(use, em_res, res_final)
+        score_final = jnp.where(use, em_score, score_final)
+
+    inliers = inlier_mask(res_final, mask, thr_sq)
+
+    valid = jnp.sum(mask.astype(jnp.int32)) >= 5
+    return E_final, inliers, valid
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
+                   n_iters: int = 512):
+    """Batched up-to-scale relative pose from 2D-2D correspondences.
+
+    Equivalent of EssentialMatrixSolver.estimate_pose (reference
+    pose_solver.py:29-61), vectorised over the batch.
+
+    Args:
+        kpts0, kpts1: [B, N, 2] pixel coordinates (padded).
+        mask: [B, N] validity.
+        K0, K1: [B, 3, 3].
+        pix_threshold: RANSAC threshold in pixels.
+    Returns dict with R [B,3,3], t [B,3] (unit), inliers [B] (cheirality
+    count), inlier_mask [B,N] (E-matrix inliers), valid [B].
+    """
+    B = kpts0.shape[0]
+    x0 = normalize_keypoints(kpts0, K0)
+    x1 = normalize_keypoints(kpts1, K1)
+    f_mean = (K0[:, 0, 0] + K1[:, 1, 1] + K0[:, 1, 1] + K1[:, 0, 0]) / 4.0
+    thr = pix_threshold / f_mean  # [B]
+
+    keys = jax.random.split(key, B)
+
+    def per_pair(key, x0, x1, m, thr):
+        E, inl, valid = estimate_essential(key, x0, x1, m, thr, n_iters)
+        R, t, n_cheir, cheir_mask = cheirality_pose(E, x0, x1, inl)
+        return R, t, n_cheir, inl, valid
+
+    R, t, n, inl, valid = jax.vmap(per_pair)(keys, x0, x1, mask, thr)
+    nan = jnp.nan
+    R = jnp.where(valid[:, None, None], R, nan)
+    t = jnp.where(valid[:, None], t, nan)
+    n = jnp.where(valid, n, 0)
+    return {"R": R, "t": t, "inliers": n, "inlier_mask": inl, "valid": valid}
+
+
+def gather_depth(depth, kpts):
+    """Sample depth maps at integer keypoint locations.
+
+    Args:
+        depth: [B, H, W]; kpts: [B, N, 2] pixel coords (x, y).
+    Returns: [B, N] depths (0 outside the image).
+    """
+    B, H, W = depth.shape
+    x = jnp.clip(kpts[..., 0].astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(kpts[..., 1].astype(jnp.int32), 0, H - 1)
+    return jax.vmap(lambda d, yy, xx: d[yy, xx])(depth, y, x)
+
+
+@partial(jax.jit, static_argnames=("variant",))
+def metric_scale_from_depth(R, t_unit, kpts0, kpts1, inlier_m, depth0, depth1,
+                            K0, K1, scale_threshold, variant: str = "ransac"):
+    """Recover the metric norm of the translation from depth maps.
+
+    Equivalent of EssentialMatrixMetricSolver(MEAN) (reference
+    pose_solver.py:64-172): back-project E-inliers at both cameras, rotate
+    cloud0 into cloud1's frame, project per-correspondence residuals onto the
+    translation direction; aggregate by 1-D RANSAC (all N hypotheses scored
+    densely) or by the mean of cloud means.
+
+    Returns (t_metric [B, 3], inliers [B], valid [B]).
+    """
+    from mapfree_tpu.geom.projection import backproject_3d
+
+    kpts0_i = jnp.floor(kpts0)  # reference casts inlier kpts to int
+    kpts1_i = jnp.floor(kpts1)
+    d0 = gather_depth(depth0, kpts0_i)  # [B, N]
+    d1 = gather_depth(depth1, kpts1_i)
+    valid_d = (d0 > 0) & (d1 > 0) & inlier_m  # [B, N]
+
+    xyz0 = backproject_3d(kpts0_i, d0, K0)  # [B, N, 3]
+    xyz1 = backproject_3d(kpts1_i, d1, K1)
+    xyz0r = xyz0 @ jnp.swapaxes(R, 1, 2)  # rotate into camera-1 axes
+
+    if variant == "mean":
+        w = valid_d.astype(xyz0.dtype)[..., None]
+        wsum = jnp.maximum(w.sum(axis=1), 1e-9)
+        pmean0 = (xyz0r * w).sum(axis=1) / wsum
+        pmean1 = (xyz1 * w).sum(axis=1) / wsum
+        scale = jnp.sum((pmean1 - pmean0) * t_unit, axis=-1)  # [B]
+        n_inl = jnp.sum(valid_d, axis=1)
+    else:
+        # per-correspondence scale hypotheses
+        scale_i = jnp.sum((xyz1 - xyz0r) * t_unit[:, None, :], axis=-1)  # [B, N]
+        diff = jnp.abs(scale_i[:, :, None] - scale_i[:, None, :])  # [B, N, N]
+        ok = valid_d[:, :, None] & valid_d[:, None, :] & (diff < scale_threshold)
+        counts = jnp.sum(ok, axis=1)  # [B, N] inliers per hypothesis
+        counts = jnp.where(valid_d, counts, -1)
+        best = jnp.argmax(counts, axis=-1)  # [B]
+        scale = jnp.take_along_axis(scale_i, best[:, None], axis=1)[:, 0]
+        n_inl = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+
+    has_depth = jnp.sum(valid_d, axis=1) >= 1
+    t_metric = scale[:, None] * t_unit
+    t_metric = jnp.where(has_depth[:, None], t_metric, jnp.nan)
+    n_inl = jnp.where(has_depth, n_inl, 0)
+    return t_metric, n_inl, has_depth

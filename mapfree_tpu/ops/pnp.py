@@ -1,0 +1,168 @@
+"""Batched PnP (2D-3D) with RANSAC + Gauss-Newton refinement.
+
+TPU-native replacement for the reference's OpenCV PnP path
+(reference lib/models/matching/pose_solver.py:175-235):
+- ``cv.solvePnPRansac(SOLVEPNP_P3P)`` -> fixed-budget RANSAC with a vmapped
+  DLT (6-point) minimal solver and pixel reprojection scoring;
+- ``cv.solvePnPGeneric(SOLVEPNP_ITERATIVE)`` inlier refinement -> fixed-step
+  Gauss-Newton on the axis-angle + translation parametrisation;
+- the ||t|| > 1000 degenerate-solution guard is preserved.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mapfree_tpu.geom.rotation import inv_rodrigues, rodrigues
+from mapfree_tpu.ops.ransac import masked_sample_indices
+
+_MIN_PNP_POINTS = 4
+_GN_ITERS = 10
+_SAMPLE_SIZE = 6
+
+
+def _dlt_pose(X, x, w):
+    """Weighted DLT for the projection P = [R|t] from 3D-2D correspondences.
+
+    Args:
+        X: [M, 3] 3D points (camera-0 frame); x: [M, 2] normalized image
+        coords in camera 1; w: [M] weights.
+    Returns R [3,3], t [3].
+    """
+    zeros = jnp.zeros_like(X[:, 0])
+    ones = jnp.ones_like(zeros)
+    Xh = jnp.concatenate([X, ones[:, None]], axis=-1)  # [M, 4]
+    u, v = x[:, 0], x[:, 1]
+    # two rows per point of A p = 0, p = vec(P) (12)
+    row_u = jnp.concatenate(
+        [Xh, jnp.zeros_like(Xh), -u[:, None] * Xh], axis=-1
+    )  # [M, 12]
+    row_v = jnp.concatenate(
+        [jnp.zeros_like(Xh), Xh, -v[:, None] * Xh], axis=-1
+    )
+    A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    p = V[:, 0]
+    P = p.reshape(3, 4)
+    M = P[:, :3]
+    # fix sign: points must be in front (positive depth on average)
+    depths = Xh @ P[2]
+    sgn = jnp.sign(jnp.sum(jnp.sign(depths) * w))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    P = P * sgn
+    M = P[:, :3]
+    # orthogonalize M -> R with scale from SVD
+    U, S, Vt = jnp.linalg.svd(M)
+    R = U @ Vt
+    R = R * jnp.sign(jnp.linalg.det(R))
+    scale = jnp.sum(S) / 3.0
+    t = P[:, 3] / jnp.maximum(scale, 1e-12)
+    return R, t
+
+
+def _reproj_residual_sq(R, t, X, x_norm):
+    """Squared reprojection residual in normalized coords, [N]."""
+    Xc = X @ R.T + t
+    z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+    proj = Xc[:, :2] / z[:, None]
+    behind = Xc[:, 2] <= 0
+    err = jnp.sum((proj - x_norm) ** 2, axis=-1)
+    return jnp.where(behind, 1e12, err)
+
+
+def _gauss_newton(R0, t0, X, x_norm, w, n_iters=_GN_ITERS, damping=1e-6):
+    """Fixed-iteration damped GN on (rvec, t) minimising weighted reprojection."""
+    params0 = jnp.concatenate([inv_rodrigues(R0), t0])
+
+    def residual(params):
+        R = rodrigues(params[:3])
+        t = params[3:]
+        Xc = X @ R.T + t
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+        proj = Xc[:, :2] / z[:, None]
+        return ((proj - x_norm) * w[:, None]).reshape(-1)  # [2N]
+
+    def step(params, _):
+        r = residual(params)
+        J = jax.jacfwd(residual)(params)  # [2N, 6]
+        JtJ = J.T @ J + damping * jnp.eye(6)
+        g = J.T @ r
+        delta = jnp.linalg.solve(JtJ, g)
+        new_params = params - delta
+        # keep the update only if it reduces the cost
+        better = jnp.sum(residual(new_params) ** 2) < jnp.sum(r**2)
+        return jnp.where(better, new_params, params), None
+
+    params, _ = jax.lax.scan(step, params0, None, length=n_iters)
+    return rodrigues(params[:3]), params[3:]
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
+             reproj_threshold, n_iters: int = 512):
+    """Batched metric pose via PnP RANSAC + GN refine.
+
+    Equivalent of PnPSolver.estimate_pose (reference pose_solver.py:184-235),
+    vectorised over the batch:
+    back-project map keypoints with the map depth, find the camera-1 pose of
+    those 3D points from their 2D locations in the query image.
+
+    Args:
+        pts0, pts1: [B, N, 2] pixel coordinates; mask: [B, N].
+        depth0: [B, H, W] map depth; K0, K1: [B, 3, 3].
+        reproj_threshold: inlier threshold in pixels.
+    Returns dict with R [B,3,3], t [B,3], inliers [B], valid [B].
+    """
+    from mapfree_tpu.geom.projection import backproject_3d
+    from mapfree_tpu.ops.essential import gather_depth, normalize_keypoints
+
+    B, N, _ = pts0.shape
+    pts0_i = jnp.floor(pts0)
+    d0 = gather_depth(depth0, pts0_i)
+    valid = mask & (d0 > 0)
+
+    X = backproject_3d(pts0_i, d0, K0)  # [B, N, 3]
+    x1n = normalize_keypoints(pts1, K1)  # [B, N, 2]
+    f_mean = (K1[:, 0, 0] + K1[:, 1, 1]) / 2.0
+    thr_sq = (reproj_threshold / f_mean) ** 2  # [B]
+
+    keys = jax.random.split(key, B)
+
+    def per_pair(key, X, x1n, m, thr_sq):
+        idx = masked_sample_indices(key, m, n_iters, _SAMPLE_SIZE)
+
+        def solve_one(sample_idx):
+            return _dlt_pose(X[sample_idx], x1n[sample_idx],
+                             m[sample_idx].astype(X.dtype))
+
+        Rs, ts = jax.vmap(solve_one)(idx)
+        res = jax.vmap(lambda R, t: _reproj_residual_sq(R, t, X, x1n))(Rs, ts)
+        capped = jnp.where(m, jnp.minimum(res, thr_sq), thr_sq)
+        scores = jnp.sum(capped, axis=-1)
+        best = jnp.argmin(scores)
+        R_best, t_best = Rs[best], ts[best]
+        inl = m & (res[best] < thr_sq)
+
+        # iterative refinement on inliers (reference refines when >= 6 inliers)
+        w = inl.astype(X.dtype)
+        R_ref, t_ref = _gauss_newton(R_best, t_best, X, x1n, w)
+        refine_ok = jnp.sum(inl) >= 6
+        R_fin = jnp.where(refine_ok, R_ref, R_best)
+        t_fin = jnp.where(refine_ok, t_ref, t_best)
+
+        res_fin = _reproj_residual_sq(R_fin, t_fin, X, x1n)
+        inl_fin = m & (res_fin < thr_sq)
+        return R_fin, t_fin, jnp.sum(inl_fin)
+
+    R, t, n = jax.vmap(per_pair)(keys, X, x1n, valid, thr_sq)
+
+    ok = (jnp.sum(valid, axis=1) >= _MIN_PNP_POINTS) & (
+        jnp.linalg.norm(t, axis=-1) <= 1000.0
+    )
+    R = jnp.where(ok[:, None, None], R, jnp.nan)
+    t = jnp.where(ok[:, None], t, jnp.nan)
+    n = jnp.where(ok, n, 0)
+    return {"R": R, "t": t, "inliers": n, "valid": ok}

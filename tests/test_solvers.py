@@ -1,0 +1,256 @@
+"""Batched RANSAC solver tests on synthetic geometry with outliers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapfree_tpu.geom import quat2mat
+from mapfree_tpu.ops.essential import (
+    essential_pose,
+    metric_scale_from_depth,
+    normalize_keypoints,
+)
+from mapfree_tpu.ops.pnp import pnp_pose
+from mapfree_tpu.ops.procrustes_ransac import (
+    dense_cloud_from_depth,
+    icp_point_to_point,
+    procrustes_pose,
+)
+
+rng = np.random.default_rng(7)
+IMG_H, IMG_W = 120, 160
+K = np.array([[120.0, 0, 80], [0, 120.0, 60], [0, 0, 1]], np.float32)
+
+
+def random_rotation(max_angle=0.5, gen=None):
+    gen = rng if gen is None else gen
+    axis = gen.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    angle = gen.uniform(max_angle / 2, max_angle)
+    q = np.concatenate([[np.cos(angle / 2)], axis * np.sin(angle / 2)])
+    return quat2mat(q)
+
+
+def synth_pair(n_points=200, n_outliers=0, noise=0.0, seed=0):
+    """Two views of a random 3D scene. Returns kpts0, kpts1, mask, R, t, X."""
+    local = np.random.default_rng(seed)
+    R = random_rotation(gen=local)
+    t = local.normal(size=3)
+    t = t / np.linalg.norm(t) * local.uniform(0.5, 2.0)
+
+    X = np.stack(
+        [
+            local.uniform(-2, 2, n_points),
+            local.uniform(-1.5, 1.5, n_points),
+            local.uniform(3, 8, n_points),
+        ],
+        axis=-1,
+    )  # camera-0 frame, in front
+    X1 = X @ R.T + t
+
+    def project(P):
+        uv = (P @ K.T)
+        return uv[:, :2] / uv[:, 2:]
+
+    k0 = project(X) + local.normal(size=(n_points, 2)) * noise
+    k1 = project(X1) + local.normal(size=(n_points, 2)) * noise
+    if n_outliers:
+        idx = local.choice(n_points, n_outliers, replace=False)
+        k1[idx] = local.uniform(0, [IMG_W, IMG_H], size=(n_outliers, 2))
+    mask = np.ones(n_points, bool)
+    return k0, k1, mask, R, t, X
+
+
+def rot_err_deg(R_est, R_gt):
+    c = (np.trace(R_est.T @ R_gt) - 1) / 2
+    return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+
+def t_dir_err_deg(t_est, t_gt):
+    c = np.dot(t_est, t_gt) / (np.linalg.norm(t_est) * np.linalg.norm(t_gt))
+    return np.degrees(np.arccos(np.clip(abs(c), -1, 1)))
+
+
+class TestEssential:
+    def test_clean_recovery(self):
+        k0, k1, mask, R, t, _ = synth_pair(seed=1)
+        out = essential_pose(
+            jax.random.PRNGKey(0),
+            jnp.asarray(k0[None]), jnp.asarray(k1[None]), jnp.asarray(mask[None]),
+            jnp.asarray(K[None]), jnp.asarray(K[None]), 2.0, n_iters=256,
+        )
+        R_est = np.asarray(out["R"][0])
+        t_est = np.asarray(out["t"][0])
+        assert rot_err_deg(R_est, R) < 1.0
+        assert t_dir_err_deg(t_est, t) < 1.0
+        assert int(out["inliers"][0]) > 150
+
+    def test_with_outliers(self):
+        """40% outliers + 0.3 px noise: median accuracy over seeds must hold
+        (individual draws can land in a competing epipolar basin, as with the
+        reference's MAGSAC)."""
+        rot_errs, t_errs = [], []
+        for s in range(5):
+            k0, k1, mask, R, t, _ = synth_pair(n_outliers=80, noise=0.3, seed=2 + s)
+            out = essential_pose(
+                jax.random.PRNGKey(s),
+                jnp.asarray(k0[None]), jnp.asarray(k1[None]),
+                jnp.asarray(mask[None]),
+                jnp.asarray(K[None]), jnp.asarray(K[None]), 2.0, n_iters=1024,
+            )
+            rot_errs.append(rot_err_deg(np.asarray(out["R"][0]), R))
+            t_errs.append(t_dir_err_deg(np.asarray(out["t"][0]), t))
+        assert np.median(rot_errs) < 2.0, rot_errs
+        assert np.median(t_errs) < 6.0, t_errs
+
+    def test_too_few_points_nan(self):
+        k0 = np.zeros((1, 16, 2), np.float32)
+        k1 = np.zeros((1, 16, 2), np.float32)
+        mask = np.zeros((1, 16), bool)
+        mask[0, :3] = True
+        out = essential_pose(
+            jax.random.PRNGKey(0), jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(mask), jnp.asarray(K[None]), jnp.asarray(K[None]), 2.0,
+            n_iters=32,
+        )
+        assert np.all(np.isnan(np.asarray(out["R"][0])))
+        assert int(out["inliers"][0]) == 0
+
+    def test_batched_pairs(self):
+        pairs = [synth_pair(seed=s) for s in (3, 4, 5)]
+        k0 = jnp.asarray(np.stack([p[0] for p in pairs]))
+        k1 = jnp.asarray(np.stack([p[1] for p in pairs]))
+        mask = jnp.asarray(np.stack([p[2] for p in pairs]))
+        Ks = jnp.asarray(np.tile(K, (3, 1, 1)))
+        out = essential_pose(jax.random.PRNGKey(2), k0, k1, mask, Ks, Ks, 2.0,
+                             n_iters=256)
+        for i, (_, _, _, R, t, _) in enumerate(pairs):
+            assert rot_err_deg(np.asarray(out["R"][i]), R) < 1.5
+            assert t_dir_err_deg(np.asarray(out["t"][i]), t) < 1.5
+
+    def test_metric_scale_ransac(self):
+        k0, k1, mask, R, t, X = synth_pair(seed=6)
+        # depth maps consistent with the geometry
+        depth0 = np.zeros((IMG_H, IMG_W), np.float32)
+        depth1 = np.zeros((IMG_H, IMG_W), np.float32)
+        X1 = X @ R.T + t
+        for P, depth in ((X, depth0), (X1, depth1)):
+            uv = (P @ K.T)
+            uv = uv[:, :2] / uv[:, 2:]
+            ui = np.clip(uv[:, 0].astype(int), 0, IMG_W - 1)
+            vi = np.clip(uv[:, 1].astype(int), 0, IMG_H - 1)
+            depth[vi, ui] = P[:, 2]
+
+        out = essential_pose(
+            jax.random.PRNGKey(3),
+            jnp.asarray(k0[None]), jnp.asarray(k1[None]), jnp.asarray(mask[None]),
+            jnp.asarray(K[None]), jnp.asarray(K[None]), 2.0, n_iters=256,
+        )
+        t_metric, n_inl, ok = metric_scale_from_depth(
+            out["R"], out["t"], jnp.asarray(k0[None]), jnp.asarray(k1[None]),
+            out["inlier_mask"], jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+            jnp.asarray(K[None]), jnp.asarray(K[None]), scale_threshold=0.1,
+        )
+        assert bool(ok[0])
+        t_est = np.asarray(t_metric[0])
+        # sign of the unit translation may be flipped; metric scale projects
+        # onto it so the recovered vector must match t up to solver sign
+        err = min(np.linalg.norm(t_est - t), np.linalg.norm(t_est + t))
+        assert err < 0.15, (t_est, t)
+
+
+class TestPnP:
+    def _depth_for(self, X, k0):
+        depth0 = np.zeros((IMG_H, IMG_W), np.float32)
+        ui = np.clip(k0[:, 0].astype(int), 0, IMG_W - 1)
+        vi = np.clip(k0[:, 1].astype(int), 0, IMG_H - 1)
+        depth0[vi, ui] = X[:, 2]
+        return depth0
+
+    def test_clean_recovery(self):
+        k0, k1, mask, R, t, X = synth_pair(seed=8)
+        depth0 = self._depth_for(X, k0)
+        out = pnp_pose(
+            jax.random.PRNGKey(0),
+            jnp.asarray(k0[None]), jnp.asarray(k1[None]), jnp.asarray(mask[None]),
+            jnp.asarray(depth0[None]), jnp.asarray(K[None]), jnp.asarray(K[None]),
+            reproj_threshold=3.0, n_iters=256,
+        )
+        R_est = np.asarray(out["R"][0])
+        t_est = np.asarray(out["t"][0])
+        assert rot_err_deg(R_est, R) < 2.0
+        assert np.linalg.norm(t_est - t) < 0.2, (t_est, t)
+
+    def test_with_outliers(self):
+        k0, k1, mask, R, t, X = synth_pair(n_outliers=60, seed=9)
+        depth0 = self._depth_for(X, k0)
+        out = pnp_pose(
+            jax.random.PRNGKey(1),
+            jnp.asarray(k0[None]), jnp.asarray(k1[None]), jnp.asarray(mask[None]),
+            jnp.asarray(depth0[None]), jnp.asarray(K[None]), jnp.asarray(K[None]),
+            reproj_threshold=3.0, n_iters=1024,
+        )
+        assert rot_err_deg(np.asarray(out["R"][0]), R) < 3.0
+        assert np.linalg.norm(np.asarray(out["t"][0]) - t) < 0.3
+
+    def test_no_depth_nan(self):
+        k0, k1, mask, R, t, X = synth_pair(seed=10)
+        depth0 = np.zeros((IMG_H, IMG_W), np.float32)
+        out = pnp_pose(
+            jax.random.PRNGKey(0),
+            jnp.asarray(k0[None]), jnp.asarray(k1[None]), jnp.asarray(mask[None]),
+            jnp.asarray(depth0[None]), jnp.asarray(K[None]), jnp.asarray(K[None]),
+            reproj_threshold=3.0, n_iters=32,
+        )
+        assert np.all(np.isnan(np.asarray(out["R"][0])))
+
+
+class TestProcrustes:
+    def test_clean_recovery(self):
+        k0, k1, mask, R, t, X = synth_pair(seed=11)
+        X1 = X @ R.T + t
+        depth0 = np.zeros((IMG_H, IMG_W), np.float32)
+        depth1 = np.zeros((IMG_H, IMG_W), np.float32)
+        for P, kk, depth in ((X, k0, depth0), (X1, k1, depth1)):
+            ui = np.clip(kk[:, 0].astype(int), 0, IMG_W - 1)
+            vi = np.clip(kk[:, 1].astype(int), 0, IMG_H - 1)
+            depth[vi, ui] = P[:, 2]
+        out = procrustes_pose(
+            jax.random.PRNGKey(0),
+            jnp.asarray(k0[None]), jnp.asarray(k1[None]), jnp.asarray(mask[None]),
+            jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+            jnp.asarray(K[None]), jnp.asarray(K[None]), max_corr_dist=0.3,
+            n_iters=128,
+        )
+        assert rot_err_deg(np.asarray(out["R"][0]), R) < 3.0
+        assert np.linalg.norm(np.asarray(out["t"][0]) - t) < 0.3
+
+    def test_icp_refines(self):
+        """ICP from a perturbed initialisation converges to the GT transform."""
+        local = np.random.default_rng(12)
+        cloud0 = local.uniform(-1, 1, size=(512, 3)).astype(np.float32)
+        R = random_rotation(0.3)
+        t = np.array([0.2, -0.1, 0.15], np.float32)
+        cloud1 = (cloud0 @ R.T + t).astype(np.float32)
+        mask = np.ones(512, bool)
+
+        # perturbed init
+        R0 = random_rotation(0.05) @ R
+        t0 = t + 0.05
+        R_ref, t_ref = icp_point_to_point(
+            jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
+            jnp.asarray(cloud0), jnp.asarray(mask),
+            jnp.asarray(cloud1), jnp.asarray(mask), max_corr_dist=0.5,
+        )
+        assert rot_err_deg(np.asarray(R_ref), R) < 0.5
+        assert np.linalg.norm(np.asarray(t_ref) - t) < 0.02
+
+    def test_dense_cloud_helper(self):
+        depth = np.zeros((24, 32), np.float32)
+        depth[5:15, 5:25] = 2.0
+        cloud, mask = dense_cloud_from_depth(depth, K, max_points=64)
+        assert cloud.shape == (64, 3)
+        assert mask.sum() == 64  # 200 valid pixels subsampled to 64
+        assert np.allclose(cloud[mask][:, 2], 2.0)
