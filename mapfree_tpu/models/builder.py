@@ -1,0 +1,80 @@
+"""Model builder: uniform batched-inference interface over both families.
+
+Equivalent of reference lib/models/builder.py:8-26. Every built model exposes
+``predict_batch(batch) -> (R [B,3,3], t [B,1,3], inliers [B])`` numpy, where
+``batch`` is a collated loader batch. Regression models jit-compile one fixed
+batch shape and pad smaller (final) batches up to it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mapfree_tpu.models.matching import FeatureMatchingModel
+from mapfree_tpu.models.regression import build_regression_net
+
+
+class RegressionPredictor:
+    def __init__(self, cfg, checkpoint: str = ""):
+        self.cfg = cfg
+        self.net = build_regression_net(cfg)
+        H, W = cfg.DATASET.HEIGHT, cfg.DATASET.WIDTH
+        self.batch_size = int(cfg.TPU.INFER_BATCH)
+        if cfg.MODEL == "RegressionMultiFrame":
+            img1_shape = (self.batch_size, cfg.DATASET.QUERY_FRAME_COUNT, H, W, 3)
+        else:
+            img1_shape = (self.batch_size, H, W, 3)
+        img0 = jnp.zeros((self.batch_size, H, W, 3), jnp.float32)
+        img1 = jnp.zeros(img1_shape, jnp.float32)
+
+        if checkpoint:
+            import orbax.checkpoint as ocp
+
+            abstract = jax.eval_shape(
+                lambda: self.net.init(jax.random.PRNGKey(0), img0, img1, train=False)
+            )
+            self.variables = ocp.StandardCheckpointer().restore(checkpoint, abstract)
+        else:
+            self.variables = self.net.init(jax.random.PRNGKey(0), img0, img1,
+                                           train=False)
+
+        @jax.jit
+        def _predict(image0, image1):
+            R, t, _ = self.net.apply(self.variables, image0, image1, train=False)
+            return R, t
+
+        self._predict = _predict
+
+    def predict_batch(self, batch):
+        image0 = np.asarray(batch["image0"], np.float32)
+        image1 = np.asarray(batch["image1"], np.float32)
+        B = image0.shape[0]
+        if B < self.batch_size:  # pad the final partial batch
+            pad = self.batch_size - B
+            image0 = np.concatenate([image0, np.zeros((pad,) + image0.shape[1:],
+                                                      np.float32)])
+            image1 = np.concatenate([image1, np.zeros((pad,) + image1.shape[1:],
+                                                      np.float32)])
+        R, t = self._predict(jnp.asarray(image0), jnp.asarray(image1))
+        R = np.asarray(R)[:B]
+        t = np.asarray(t)[:B].reshape(B, 1, 3)
+        return R, t, np.zeros((B,), np.float32)
+
+
+class MatchingPredictor:
+    def __init__(self, cfg):
+        self.model = FeatureMatchingModel(cfg)
+
+    def predict_batch(self, batch):
+        return self.model(batch)
+
+
+def build_model(cfg, checkpoint: str = ""):
+    if cfg.MODEL == "FeatureMatching":
+        return MatchingPredictor(cfg)
+    if cfg.MODEL in ("Regression", "RegressionMultiFrame"):
+        return RegressionPredictor(cfg, checkpoint)
+    raise NotImplementedError(f"Invalid model {cfg.MODEL}")

@@ -1,0 +1,233 @@
+"""Feature-matching pose model: correspondences -> batched RANSAC solvers.
+
+Behavioural equivalent of reference lib/models/matching/model.py:7-40 and
+feature_matching.py:5-118, re-designed TPU-first: where the reference asserts
+batch size 1 and loops Python-over-OpenCV per pair, this model consumes
+*batches* of padded correspondences and dispatches ONE jitted program for the
+whole batch (solve + score + refine for every pair simultaneously).
+
+Correspondence sources:
+- ``PrecomputedMatching``: NaN-padded npz produced offline (LoFTR/SuperGlue/
+  SIFT), per-scene lazy reload via the ``{scene_root}`` path template;
+- ``SIFTMatching``: host-side detector/descriptor (OpenCV, exactly what the
+  reference drives) + TPU exact 2-NN ratio matching.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mapfree_tpu.ops.essential import essential_pose, metric_scale_from_depth
+from mapfree_tpu.ops.matching import mutual_2nn_ratio_match
+from mapfree_tpu.ops.pnp import pnp_pose
+from mapfree_tpu.ops.procrustes_ransac import dense_cloud_from_depth, procrustes_pose
+
+
+def pad_correspondences(corr_list, max_n: int):
+    """Stack variable-length [Ni, 4] correspondence arrays into fixed-shape
+    (pts0 [B, max_n, 2], pts1 [B, max_n, 2], mask [B, max_n])."""
+    B = len(corr_list)
+    pts0 = np.zeros((B, max_n, 2), np.float32)
+    pts1 = np.zeros((B, max_n, 2), np.float32)
+    mask = np.zeros((B, max_n), bool)
+    for i, corr in enumerate(corr_list):
+        n = min(len(corr), max_n)
+        if n > 0:
+            pts0[i, :n] = corr[:n, :2]
+            pts1[i, :n] = corr[:n, 2:]
+            mask[i, :n] = True
+    return pts0, pts1, mask
+
+
+class PrecomputedMatching:
+    """Correspondences from a precomputed npz (reference
+    feature_matching.py:5-50)."""
+
+    def __init__(self, cfg):
+        self.correspondences = None
+        self.max_n = int(cfg.TPU.MAX_CORRESPONDENCES)
+        if "{" in cfg.MATCHES_FILE_PATH:
+            self.matches_file_path = cfg.MATCHES_FILE_PATH
+            self.scene_id = None
+            self.pairs_txt = cfg.DATASET.PAIRS_TXT.TEST
+        else:
+            self.matches_file_path = None
+            self._load(cfg.MATCHES_FILE_PATH)
+
+    def _load(self, file_path):
+        data = np.load(file_path, allow_pickle=True)
+        self.correspondences = data["correspondences"].astype(np.float32)
+
+    def get_correspondences(self, batch):
+        corr_list = []
+        for i in range(len(batch["pair_id"])):
+            if self.matches_file_path is not None:
+                scene_id = batch["scene_id"][i]
+                if scene_id != getattr(self, "scene_id", None):
+                    self.scene_id = scene_id
+                    path = self.matches_file_path.format(
+                        scene_root=batch["scene_root"][i], pairs_txt=self.pairs_txt
+                    )
+                    self._load(path)
+            corr = self.correspondences[int(batch["pair_id"][i])]
+            corr = corr[~np.isnan(corr)].reshape(-1, 4)
+            corr_list.append(corr)
+        return pad_correspondences(corr_list, self.max_n)
+
+
+class SIFTMatching:
+    """SIFT keypoints/descriptors (host) + exact TPU 2-NN ratio matching
+    (reference feature_matching.py:53-118; the reference's detector is the
+    same OpenCV C++ kernel)."""
+
+    def __init__(self, cfg):
+        import cv2
+
+        self.ratio_threshold = float(cfg.SIFT.RATIO_THRESHOLD)
+        self.num_features = int(cfg.SIFT.NUM_FEATURES)
+        self.sift = cv2.SIFT_create(self.num_features)
+        self.max_n = int(cfg.TPU.MAX_CORRESPONDENCES)
+        self._cv2 = cv2
+
+    @staticmethod
+    def _root_sift(descs):
+        """Hellinger kernel: L1-normalise then sqrt."""
+        descs = descs / (descs.sum(axis=1, keepdims=True) + 1e-7)
+        return np.sqrt(descs)
+
+    def _detect(self, image_nhwc):
+        img = (image_nhwc * 255).astype(np.uint8)
+        gray = self._cv2.cvtColor(img, self._cv2.COLOR_RGB2GRAY)
+        kp, des = self.sift.detectAndCompute(gray, None)
+        if des is None or len(kp) == 0:
+            return np.zeros((0, 2), np.float32), np.zeros((0, 128), np.float32)
+        pts = np.array([k.pt for k in kp], np.float32)
+        return pts, self._root_sift(des.astype(np.float32))
+
+    def get_correspondences(self, batch):
+        B = batch["image0"].shape[0]
+        N = self.num_features
+        kp0 = np.zeros((B, N, 2), np.float32)
+        kp1 = np.zeros((B, N, 2), np.float32)
+        d0 = np.zeros((B, N, 128), np.float32)
+        d1 = np.zeros((B, N, 128), np.float32)
+        m0 = np.zeros((B, N), bool)
+        m1 = np.zeros((B, N), bool)
+        for i in range(B):
+            p0, dd0 = self._detect(batch["image0"][i])
+            p1, dd1 = self._detect(batch["image1"][i])
+            n0, n1 = min(len(p0), N), min(len(p1), N)
+            kp0[i, :n0], d0[i, :n0], m0[i, :n0] = p0[:n0], dd0[:n0], True
+            kp1[i, :n1], d1[i, :n1], m1[i, :n1] = p1[:n1], dd1[:n1], True
+
+        idx1, ok = mutual_2nn_ratio_match(
+            jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(m0), jnp.asarray(m1),
+            self.ratio_threshold,
+        )
+        idx1 = np.asarray(idx1)
+        ok = np.asarray(ok)
+        corr_list = []
+        for i in range(B):
+            sel = ok[i]
+            corr = np.concatenate([kp0[i][sel], kp1[i][idx1[i][sel]]], axis=-1)
+            corr_list.append(corr)
+        return pad_correspondences(corr_list, self.max_n)
+
+
+class FeatureMatchingModel:
+    """Dispatch cfg.FEATURE_MATCHING x cfg.POSE_SOLVER, batched."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        if cfg.FEATURE_MATCHING == "SIFT":
+            self.feature_matching = SIFTMatching(cfg)
+        elif cfg.FEATURE_MATCHING == "Precomputed":
+            self.feature_matching = PrecomputedMatching(cfg)
+        else:
+            raise NotImplementedError("Invalid feature matching")
+
+        self.solver = cfg.POSE_SOLVER
+        if self.solver not in ("EssentialMatrix", "EssentialMatrixMetric",
+                               "Procrustes", "PNP"):
+            raise NotImplementedError("Invalid pose solver")
+        self.n_iters = int(cfg.TPU.RANSAC_ITERATIONS)
+        self._step = 0
+
+    def __call__(self, batch):
+        """batch: collated dict with numpy arrays. Returns (R [B,3,3],
+        t [B,1,3], inliers [B]) numpy; NaN pose where estimation failed."""
+        cfg = self.cfg
+        pts0, pts1, mask = self.feature_matching.get_correspondences(batch)
+        B = pts0.shape[0]
+        key = jax.random.PRNGKey(self._step)
+        self._step += 1
+
+        K0 = jnp.asarray(batch["K_color0"])
+        K1 = jnp.asarray(batch["K_color1"])
+        pts0 = jnp.asarray(pts0)
+        pts1 = jnp.asarray(pts1)
+        maskj = jnp.asarray(mask)
+
+        def depth(key_):
+            d = batch[key_]
+            if d.ndim != 3 or d.shape[-1] == 0:
+                raise ValueError(
+                    f"solver {self.solver} requires depth maps; set "
+                    "DATASET.ESTIMATED_DEPTH"
+                )
+            return jnp.asarray(d)
+
+        if self.solver in ("EssentialMatrix", "EssentialMatrixMetric"):
+            out = essential_pose(
+                key, pts0, pts1, maskj, K0, K1,
+                float(cfg.EMAT_RANSAC.PIX_THRESHOLD), n_iters=self.n_iters,
+            )
+            R, t, inl = out["R"], out["t"], out["inliers"]
+            if self.solver == "EssentialMatrixMetric":
+                t, inl, ok = metric_scale_from_depth(
+                    R, t, pts0, pts1, out["inlier_mask"], depth("depth0"),
+                    depth("depth1"), K0, K1,
+                    float(cfg.EMAT_RANSAC.SCALE_THRESHOLD),
+                )
+                R = jnp.where(ok[:, None, None], R, jnp.nan)
+        elif self.solver == "PNP":
+            out = pnp_pose(
+                key, pts0, pts1, maskj, depth("depth0"), K0, K1,
+                float(cfg.PNP.REPROJECTION_INLIER_THRESHOLD),
+                n_iters=self.n_iters,
+            )
+            R, t, inl = out["R"], out["t"], out["inliers"]
+        else:  # Procrustes
+            refine = bool(cfg.PROCRUSTES.REFINE)
+            kwargs = {}
+            if refine:
+                clouds0, masks0, clouds1, masks1 = [], [], [], []
+                for i in range(B):
+                    c0, mm0 = dense_cloud_from_depth(
+                        np.asarray(batch["depth0"][i]),
+                        np.asarray(batch["K_color0"][i]), 4096, seed=i)
+                    c1, mm1 = dense_cloud_from_depth(
+                        np.asarray(batch["depth1"][i]),
+                        np.asarray(batch["K_color1"][i]), 4096, seed=i + 1)
+                    clouds0.append(c0); masks0.append(mm0)
+                    clouds1.append(c1); masks1.append(mm1)
+                kwargs = dict(
+                    icp_cloud0=jnp.asarray(np.stack(clouds0)),
+                    icp_mask0=jnp.asarray(np.stack(masks0)),
+                    icp_cloud1=jnp.asarray(np.stack(clouds1)),
+                    icp_mask1=jnp.asarray(np.stack(masks1)),
+                )
+            out = procrustes_pose(
+                key, pts0, pts1, maskj, depth("depth0"), depth("depth1"),
+                K0, K1, float(cfg.PROCRUSTES.MAX_CORR_DIST),
+                n_iters=self.n_iters, refine=refine, **kwargs,
+            )
+            R, t, inl = out["R"], out["t"], out["inliers"]
+
+        R = np.asarray(R, np.float32)
+        t = np.asarray(t, np.float32).reshape(B, 1, 3)
+        inliers = np.asarray(inl)
+        return R, t, inliers

@@ -51,16 +51,24 @@ def procrustes_ransac_single(key, xyz0, xyz1, mask, max_corr_dist,
     counts = jnp.sum(inliers, axis=-1)
     best = jnp.argmax(counts)
 
-    # refit on inliers (local optimisation, as Open3D's RANSAC does internally)
-    w = inliers[best].astype(xyz0.dtype)
-    R_ref, t_ref = procrustes(xyz0[None], xyz1[None], w[None])
-    R_ref, t_ref = R_ref[0], t_ref[0, 0]
-    res_ref = jnp.sum((_transform(R_ref, t_ref, xyz0) - xyz1) ** 2, axis=-1)
-    inl_ref = (res_ref < thr_sq) & mask
-    better = jnp.sum(inl_ref) >= counts[best]
-    R_fin = jnp.where(better, R_ref, Rs[best])
-    t_fin = jnp.where(better, t_ref, ts[best])
-    inl_fin = jnp.where(better, inl_ref, inliers[best])
+    # local optimisation: IRLS-weighted Kabsch refits on the best hypothesis
+    # (Cauchy weights, sigma = thr/3) — downweights borderline inliers that a
+    # hard-threshold refit would let skew the fit
+    sigma_sq = thr_sq / 9.0
+    R_fin, t_fin = Rs[best], ts[best]
+    res_fin = res[best]
+    inl_fin = inliers[best]
+    for _ in range(3):
+        w = inl_fin.astype(xyz0.dtype) / (1.0 + res_fin / sigma_sq)
+        R_ref, t_ref = procrustes(xyz0[None], xyz1[None], w[None])
+        R_ref, t_ref = R_ref[0], t_ref[0, 0]
+        res_ref = jnp.sum((_transform(R_ref, t_ref, xyz0) - xyz1) ** 2, axis=-1)
+        inl_ref = (res_ref < thr_sq) & mask
+        better = jnp.sum(inl_ref) >= jnp.sum(inl_fin)
+        R_fin = jnp.where(better, R_ref, R_fin)
+        t_fin = jnp.where(better, t_ref, t_fin)
+        res_fin = jnp.where(better, res_ref, res_fin)
+        inl_fin = jnp.where(better, inl_ref, inl_fin)
     return R_fin, t_fin, jnp.sum(inl_fin), inl_fin
 
 

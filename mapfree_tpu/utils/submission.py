@@ -1,0 +1,69 @@
+"""Submission writer: batched inference sweep -> leaderboard zip.
+
+Equivalent of reference submission.py:18-65, except the sweep runs in
+device-sized batches (one jitted dispatch per batch) instead of a batch-1
+Python loop. Output format is byte-compatible: per-scene ``pose_{scene}.txt``
+lines ``imgpath qw qx qy qz tx ty tz confidence``, NaN/Inf frames skipped
+(counted as failures by the evaluator).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from pathlib import Path
+from zipfile import ZipFile
+
+import numpy as np
+
+from mapfree_tpu.geom.quaternion import mat2quat
+
+
+@dataclass
+class Pose:
+    image_name: str
+    q: np.ndarray
+    t: np.ndarray
+    inliers: float
+
+    def __str__(self) -> str:
+        formatter = {"float": lambda v: f"{v:.6f}"}
+        max_line_width = 1000
+        q_str = np.array2string(self.q, formatter=formatter,
+                                max_line_width=max_line_width)[1:-1]
+        t_str = np.array2string(self.t, formatter=formatter,
+                                max_line_width=max_line_width)[1:-1]
+        return f"{self.image_name} {q_str} {t_str} {self.inliers}"
+
+
+def predict(loader, model):
+    """Run the model over a loader; returns dict scene -> [Pose]."""
+    results_dict = defaultdict(list)
+    for batch in loader:
+        R, t, inliers = model.predict_batch(batch)
+        B = R.shape[0]
+        for i in range(B):
+            Ri = np.asarray(R[i], np.float64)
+            ti = np.asarray(t[i], np.float64).reshape(-1)
+            if np.isnan(Ri).any() or np.isnan(ti).any() or np.isinf(ti).any():
+                continue  # no estimate for this frame -> failure downstream
+            scene = batch["scene_id"][i]
+            query_img = batch["pair_names"][i][1]
+            if isinstance(query_img, (tuple, list)):
+                query_img = query_img[-1]  # multi-frame: the query frame
+            results_dict[scene].append(
+                Pose(
+                    image_name=query_img,
+                    q=mat2quat(Ri).reshape(-1),
+                    t=ti.reshape(-1),
+                    inliers=float(np.asarray(inliers[i])),
+                )
+            )
+    return results_dict
+
+
+def save_submission(results_dict: dict, output_path: Path):
+    with ZipFile(output_path, "w") as z:
+        for scene, poses in results_dict.items():
+            poses_str = "\n".join(str(p) for p in poses)
+            z.writestr(f"pose_{scene}.txt", poses_str.encode("utf-8"))

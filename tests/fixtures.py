@@ -12,14 +12,21 @@ except ImportError:
     cv2 = None
 
 
-def random_unit_quat(rng):
-    q = rng.normal(size=4)
-    q /= np.linalg.norm(q)
-    return q * np.sign(q[0]) if q[0] != 0 else q
+def random_unit_quat(rng, max_angle=None):
+    """Random unit quaternion; if max_angle (radians) is given, the rotation
+    angle is bounded (useful when query cameras must keep the scene visible)."""
+    if max_angle is None:
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        return q * np.sign(q[0]) if q[0] != 0 else q
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    angle = rng.uniform(0, max_angle)
+    return np.concatenate([[np.cos(angle / 2)], axis * np.sin(angle / 2)])
 
 
 def make_scene(root: Path, n_queries=10, img_hw=(72, 54), train=False, seed=0,
-               depth_suffix=None):
+               depth_suffix=None, max_angle=None, t_scale=0.5):
     """Create a synthetic MapFree scene directory.
 
     Layout (matches the reference data format):
@@ -55,8 +62,8 @@ def make_scene(root: Path, n_queries=10, img_hw=(72, 54), train=False, seed=0,
             q = np.array([1.0, 0, 0, 0])
             t = np.zeros(3)
         else:
-            q = random_unit_quat(rng)
-            t = rng.normal(size=3) * 0.5
+            q = random_unit_quat(rng, max_angle=max_angle)
+            t = rng.normal(size=3) * t_scale
         poses[name] = (q, t)
         fx = fy = 100.0
         cx, cy = W / 2, H / 2
