@@ -1,0 +1,756 @@
+"""Multi-reference visual-localization toolkit (7Scenes-style evaluation).
+
+Behavioural equivalent of reference lib/utils/localize.py:14-1020, rebuilt on
+the framework's quaternion library (no transforms3d/scipy-Rotation):
+
+- pose wrapper classes (AbsPose / RelaPose / RelaPosePair / EssPair);
+- multi-NN fusion: Weiszfeld geometric median of positions + chordal-L2
+  rotation mean (largest eigenvector of the quaternion outer-product sum);
+- pose-graph RANSAC over reference-pair combinations with DLT triangulation,
+  translation-direction inlier test, and local optimisation;
+- DSAC-style pass rates, AP, per-scene result dumps and PR plots.
+
+Host-side numpy float64 throughout (this is evaluation, not the hot path).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+import warnings
+
+import numpy as np
+
+from mapfree_tpu.benchmark.utils import precision_recall
+from mapfree_tpu.geom.quaternion import mat2quat, quat2mat
+
+# ---------------------------------------------------------------- errors ----
+
+
+def cal_vec_angle_error(label, pred, eps=1e-10):
+    """Angle in degrees between vectors; zero-vector cases give 0."""
+    label = np.atleast_2d(label)
+    pred = np.atleast_2d(pred)
+    v1 = pred / np.linalg.norm(pred, axis=1, keepdims=True)
+    v2 = label / np.linalg.norm(label, axis=1, keepdims=True)
+    # rounding to 1e-4 keeps |d| <= 1 (reference localize.py:24-25)
+    d = np.around(np.sum(v1 * v2, axis=1, keepdims=True), decimals=4)
+    d = np.clip(d, -1, 1)
+    error = np.degrees(np.arccos(d))
+    error[np.isnan(error)] = 0.0
+    return error
+
+
+def cal_quat_angle_error(label, pred):
+    label = np.atleast_2d(label)
+    pred = np.atleast_2d(pred)
+    q1 = pred / np.linalg.norm(pred, axis=1, keepdims=True)
+    q2 = label / np.linalg.norm(label, axis=1, keepdims=True)
+    d = np.abs(np.sum(q1 * q2, axis=1, keepdims=True))
+    d = np.clip(d, -1, 1)
+    return 2 * np.degrees(np.arccos(d))
+
+
+# ------------------------------------------------------------- averaging ----
+
+
+def geometric_median(X, eps=1e-5, axis=0):
+    """Weiszfeld's algorithm (reference localize.py:228-254)."""
+    y = np.mean(X, 0)
+    while True:
+        D = np.linalg.norm(X - y, axis=1, keepdims=True)
+        nonzeros = (D != 0)[:, 0]
+
+        Dinv = 1 / D[nonzeros]
+        Dinvs = np.sum(Dinv)
+        W = Dinv / Dinvs
+        T = np.sum(W * X[nonzeros], 0)
+
+        num_zeros = len(X) - np.sum(nonzeros)
+        if num_zeros == 0:
+            y1 = T
+        elif num_zeros == len(X):
+            return y.reshape(1, -1)
+        else:
+            R = (T - y) * Dinvs
+            r = np.linalg.norm(R)
+            rinv = 0 if r == 0 else num_zeros / r
+            y1 = max(0, 1 - rinv) * T + min(1, rinv) * y
+
+        if np.linalg.norm(y - y1) < eps:
+            return y1.reshape(1, -1)
+        y = y1
+
+
+def chordal_l2_mean_rotation(Rs) -> np.ndarray:
+    """Chordal-L2 mean of rotation matrices: the quaternion maximising
+    sum_i (q . q_i)^2 is the top eigenvector of sum_i q_i q_i^T. Equivalent to
+    scipy Rotation.mean() used by the reference (localize.py:395-397)."""
+    qs = np.stack([mat2quat(R) for R in Rs])  # [N, 4], w >= 0 hemisphere
+    M = qs.T @ qs
+    eigvals, eigvecs = np.linalg.eigh(M)
+    q_mean = eigvecs[:, -1]
+    if q_mean[0] < 0:
+        q_mean = -q_mean
+    return quat2mat(q_mean)
+
+
+# ------------------------------------------------------------ PR helpers ----
+
+
+def precision_recall_pose_error(inliers, terr, rerr, failures, pose_threshold):
+    assert len(inliers) == len(terr) == len(rerr), "unequal shapes"
+    assert len(pose_threshold) == 2, "invalid pose_threshold"
+    tp = (np.array(terr).reshape(-1) <= pose_threshold[0]) * (
+        np.array(rerr).reshape(-1) <= pose_threshold[1]
+    )
+    return precision_recall(inliers, tp, failures)
+
+
+def precision_recall_repr_error(inliers, reprerr, failures, repr_threshold):
+    assert len(inliers) == len(reprerr), "unequal shapes"
+    tp = np.array(reprerr).reshape(-1) < repr_threshold
+    return precision_recall(inliers, tp, failures)
+
+
+# --------------------------------------------------------------- algebra ----
+
+
+def hat(vec):
+    a1, a2, a3 = list(vec)
+    return np.array([[0, -a3, a2], [a3, 0, -a1], [-a2, a1, 0]])
+
+
+def compose_projection_matrix(R, t):
+    return np.hstack([R, np.expand_dims(t, axis=1)])
+
+
+def project_onto_essential_space(F):
+    u, s, vh = np.linalg.svd(F)
+    a = (s[0] + s[1]) / 2
+    return u @ np.diag([a, a, 0]) @ vh
+
+
+def essential_matrix_from_pose(R, t):
+    t = t / np.linalg.norm(t)
+    return (hat(t) @ R).astype(np.float32)
+
+
+def decompose_essential_matrix(E):
+    """E -> (t, R1, R2); other translation is -t (reference
+    localize.py:872-889, the OpenCV-matching variant)."""
+    u, s, vh = np.linalg.svd(E)
+    if np.linalg.det(u) < 0:
+        u = -u
+    if np.linalg.det(vh) < 0:
+        vh = -vh
+    t = u[:, 2]
+    w = np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1]])
+    R1 = u @ w @ vh
+    R2 = u @ w.T @ vh
+    return t, R1, R2
+
+
+def triangulate_two_views(x1, p1, x2, p2):
+    return triangulate_multi_views([(x1, p1), (x2, p2)])
+
+
+def triangulate_multi_views(correspondence):
+    """DLT triangulation of one 3D point from >= 2 views
+    (reference localize.py:787-806)."""
+    rows = []
+    for xi, pi in correspondence:
+        rows.append(xi[0] * pi[2, :] - pi[0, :])
+        rows.append(xi[1] * pi[2, :] - pi[1, :])
+    A = np.stack(rows)
+    _, _, vh = np.linalg.svd(A)
+    X = vh[-1, :]
+    return X[:3] / X[3]
+
+
+# --------------------------------------------------------- pose wrappers ----
+
+
+class AbsPose:
+    """World-to-camera pose given as (q, camera-center c)."""
+
+    def __init__(self, q, c, init_proj=True):
+        q = np.asarray(q, np.float64).reshape(-1)
+        c = np.asarray(c, np.float64).reshape(-1)
+        assert q.shape == (4,) and c.shape == (3,)
+        self.q = q
+        self.r = quat2mat(self.q)
+        self.c = c
+        self.t = -self.r @ self.c
+        if init_proj:
+            self.p = compose_projection_matrix(self.r, self.t)
+
+
+class RelaPose:
+    def __init__(self, q, t):
+        q = np.asarray(q, np.float64).reshape(-1)
+        t = np.asarray(t, np.float64).reshape(-1)
+        assert q.shape == (4,) and t.shape == (3,)
+        self.q = q
+        self.r = quat2mat(self.q)
+        self.t = t
+
+
+class RelaPosePair:
+    """One (reference, query) pair for metric relative-pose models
+    (reference localize.py:939-964)."""
+
+    def __init__(self, test_im, train_abs_pose, rela_pose_lbl, rela_pose_pred, sim):
+        self.test_im = test_im
+        self.train_abs_pose = train_abs_pose
+        self.rela_pose_lbl = rela_pose_lbl
+        self.rela_pose_pred = rela_pose_pred
+        x_te = -self.rela_pose_pred.r.T @ self.rela_pose_pred.t
+        self.x_te = x_te[:2] / (x_te[2] if x_te[2] != 0 else 1)
+        self.abs_r_pred = self.rela_pose_pred.r @ self.train_abs_pose.r
+        self.abs_q_pred = mat2quat(self.abs_r_pred)
+        self.abs_c_pred = (
+            train_abs_pose.c
+            - self.train_abs_pose.r.T @ self.rela_pose_pred.r.T @ self.rela_pose_pred.t
+        )
+        self.sim = sim
+        self.inliers = 0
+
+
+class EssPair:
+    """One (reference, query) pair for essential-matrix models: the rotation
+    is one of two candidates and the translation sign is undetermined until
+    RANSAC disambiguates (reference localize.py:967-1020)."""
+
+    def __init__(self, test_im, train_im, train_abs_pose, rela_pose_lbl, t, R0, R1):
+        t = np.asarray(t, np.float64).reshape(-1)
+        assert t.shape == (3,)
+        assert R0.shape == R1.shape == (3, 3)
+        self.train_im = train_im
+        self.test_im = test_im
+        self.train_abs_pose = train_abs_pose
+        self.rela_pose_lbl = rela_pose_lbl
+        self.rela_pose_pred = None
+        self.t = t
+        self.R = [R0, R1]
+        self.abs_r_pred = []
+        self.abs_q_pred = []
+        self.x_te = []
+        for i in range(2):
+            R = self.R[i]
+            x_te = -R.T @ self.t
+            if x_te[2] == 0:
+                self.x_te.append(np.array([np.inf, np.inf]))
+            else:
+                self.x_te.append(x_te[:2] / x_te[2])
+            self.abs_r_pred.append(R @ self.train_abs_pose.r)
+            self.abs_q_pred.append(mat2quat(self.abs_r_pred[i]))
+        self.inliers = 0
+
+    def set_rid(self, rid):
+        self.rid = rid
+
+    def set_opposite_trans_pred(self):
+        self.t = -self.t
+
+    def get_rela_q(self):
+        return mat2quat(self.R[self.rid])
+
+    def is_invalid(self):
+        return np.any(np.isinf(self.x_te))
+
+
+# ------------------------------------------------- direct (no-RANSAC) eval --
+
+
+def cal_rela_pose_err(pair_data):
+    """Median relative translation/rotation angle errors over all pairs."""
+    rela_q_err, rela_t_err = [], []
+    for test_im in pair_data:
+        for test_pair in pair_data[test_im]["test_pairs"]:
+            rela_t_err.append(
+                cal_vec_angle_error(test_pair.rela_pose_pred.t, test_pair.rela_pose_lbl.t)
+            )
+            rela_q_err.append(
+                cal_quat_angle_error(test_pair.rela_pose_pred.q, test_pair.rela_pose_lbl.q)
+            )
+    return np.median(rela_t_err), np.median(rela_q_err)
+
+
+def cal_abs_pose_err_metric(pair_data, err_thres=(2, 5), loc_results=None):
+    """Per-query absolute pose by fusing metric relative poses from all
+    reference images: geometric median of positions + chordal-L2 rotation
+    mean; DSAC pass rates and AP (reference localize.py:352-421)."""
+    abs_c_dist_err, abs_c_ang_err, abs_q_err, inliers = [], [], [], []
+    passed = [0] * len(err_thres)
+    failures = 0
+    for test_im in pair_data:
+        test_abs_pose = pair_data[test_im]["test_abs_pose"]
+        test_pair_list = pair_data[test_im]["test_pairs"]
+
+        if len(test_pair_list) == 0:
+            failures += 1
+            if loc_results is not None:
+                loc_results[test_im] = None
+            continue
+
+        abs_q_pred_list = [p.abs_q_pred for p in test_pair_list]
+        train_abs_c = np.vstack([p.train_abs_pose.c for p in test_pair_list])
+        abs_c_pred_list = [p.abs_c_pred for p in test_pair_list]
+        inliers_list = [p.inliers for p in test_pair_list]
+
+        abs_c_pred = geometric_median(np.vstack(abs_c_pred_list), axis=0)
+        cerr = np.linalg.norm(test_abs_pose.c - abs_c_pred, axis=1)
+        abs_c_dist_err.append(cerr)
+        abs_c_ang_err.append(
+            np.median(
+                cal_vec_angle_error(
+                    test_abs_pose.c - train_abs_c, abs_c_pred - train_abs_c
+                )
+            )
+        )
+        inliers.append(inliers_list[0])  # assumes a single keyframe
+
+        abs_r_pred = chordal_l2_mean_rotation([quat2mat(q) for q in abs_q_pred_list])
+        abs_q_pred = mat2quat(abs_r_pred)
+        qerr = cal_quat_angle_error(test_abs_pose.q, abs_q_pred)
+        abs_q_err.append(qerr)
+
+        for i_e, err_t in enumerate(err_thres):
+            if cerr < err_t[0] and qerr < err_t[1]:
+                passed[i_e] += 1
+
+        if loc_results is not None:
+            loc_results[test_im] = {
+                "abs_pose_lbl": test_abs_pose,
+                "abs_pose_pred": AbsPose(abs_q_pred.reshape(-1), abs_c_pred.reshape(-1)),
+                "abs_t_err": cerr.item(),
+                "abs_r_err": qerr.item(),
+                "inliers": inliers_list[0],
+            }
+
+    _, _, average_precision = precision_recall_pose_error(
+        inliers, abs_c_dist_err, abs_q_err, failures, pose_threshold=err_thres[1]
+    )
+    passed = np.array(passed)
+    return (
+        np.median(abs_c_dist_err),
+        np.median(abs_c_ang_err),
+        np.median(abs_q_err),
+        100.0 * passed / len(pair_data),
+        average_precision,
+    )
+
+
+def eval_pipeline_without_ransac(result_dict, err_thres=(2, 5), log=None,
+                                 save_res_path=None):
+    """(reference localize.py:164-208)"""
+    avg_rela_t_err, avg_rela_q_err = [], []
+    avg_abs_c_dist_err, avg_abs_c_ang_err, avg_abs_q_err = [], [], []
+    avg_passed = []
+
+    loc_results_dict = {}
+    for dataset in result_dict:
+        loc_results_dict[dataset] = {} if save_res_path else None
+        pair_data = result_dict[dataset]["pair_data"]
+        failures = result_dict[dataset]["no_pt_pairs"]
+        print(
+            f">>Testing dataset: {dataset}, testing samples: {len(pair_data)}, "
+            f"failures {len(failures)}"
+        )
+
+        rela_t_err, rela_q_err = cal_rela_pose_err(pair_data)
+        avg_rela_t_err.append(rela_t_err)
+        avg_rela_q_err.append(rela_q_err)
+
+        abs_c_dist_err, abs_c_ang_err, abs_q_err, passed, ap = cal_abs_pose_err_metric(
+            pair_data, err_thres, loc_results_dict[dataset]
+        )
+        avg_abs_c_dist_err.append(abs_c_dist_err)
+        avg_abs_c_ang_err.append(abs_c_ang_err)
+        avg_abs_q_err.append(abs_q_err)
+        avg_passed.append(passed)
+
+        print(
+            "rela_err (t{:.2f}deg, r{:.2f}deg) abs err: (t{:.2f}m/{:.2f}deg, "
+            "r{:.2f}deg), Recall: {}. AP: {:.2f}".format(
+                rela_t_err, rela_q_err, abs_c_dist_err, abs_c_ang_err, abs_q_err,
+                "/".join(f"{v:.2f}%" for v in passed), ap,
+            )
+        )
+
+    if save_res_path:
+        np.save(save_res_path, loc_results_dict)
+
+    avg_passed = np.stack(avg_passed).mean(axis=0)
+    eval_val = (
+        np.mean(avg_rela_t_err),
+        np.mean(avg_rela_q_err),
+        np.mean(avg_abs_c_dist_err),
+        np.mean(avg_abs_c_ang_err),
+        np.mean(avg_abs_q_err),
+    )
+    print(
+        ">>avg_rela_err (t{v[0]:.2f}deg, r{v[1]:.2f}deg) avg_abs_err "
+        "(t{v[2]:.2f}m/{v[3]:.2f}deg, r{v[4]:.2f}deg). Pass:".format(v=eval_val)
+        + "/".join(f"{v:.2f}%" for v in avg_passed)
+    )
+    return eval_val, avg_passed
+
+
+# ------------------------------------------------------------ RANSAC eval ---
+
+
+def find_inliers(hypo_abs_pose, test_pair_list, thres, pair_type="ess",
+                 update_trans=False):
+    """Inlier test: translation-direction angle between the hypothesis and
+    each pair's prediction (reference localize.py:667-731)."""
+    inliers = []
+    for i, test_pair in enumerate(test_pair_list):
+        train_abs_pose = test_pair.train_abs_pose
+        rela_t_est = train_abs_pose.r @ (hypo_abs_pose.c - train_abs_pose.c)
+
+        if pair_type == "ess":
+            err0 = cal_quat_angle_error(hypo_abs_pose.q, test_pair.abs_q_pred[0])
+            err1 = cal_quat_angle_error(hypo_abs_pose.q, test_pair.abs_q_pred[1])
+            rid = int(np.argmin([err0, err1]))
+            test_pair.set_rid(rid)
+            rela_r_opt = test_pair.R[rid]
+            rela_t_opt = test_pair.t
+        else:  # relapose
+            rela_r_opt = test_pair.rela_pose_pred.r
+            rela_t_opt = test_pair.rela_pose_pred.t
+        t_est = rela_t_est
+        t_opt = -rela_r_opt.T @ rela_t_opt  # direction query -> reference
+
+        err = np.inf
+        with warnings.catch_warnings():
+            warnings.filterwarnings("error", category=RuntimeWarning)
+            try:
+                if np.linalg.norm(t_est) == 0.0:
+                    err = 0.0  # same position as reference
+                else:
+                    err = cal_vec_angle_error(t_est, t_opt)
+                    if pair_type == "ess":
+                        err_ = cal_vec_angle_error(t_est, -t_opt)
+                        if err_ < err:
+                            err = err_
+                            if update_trans:
+                                test_pair.set_opposite_trans_pred()
+            except Warning:
+                print("Warning caught during find inlier calculation")
+                print(f"Test im {test_pair.test_im}")
+
+        if err < thres:
+            inliers.append(i)
+    return inliers
+
+
+def estimate_model(test_pair_list, inliers, pair_type):
+    """Absolute pose from an inlier set: DLT triangulation of the query
+    position + mean quaternion (reference localize.py:734-756)."""
+    abs_q_pred_list = []
+    correspondence = []
+    for i in inliers:
+        test_pair = test_pair_list[i]
+        if pair_type == "ess":
+            rid = test_pair.rid
+            correspondence.append((test_pair.x_te[rid], test_pair.train_abs_pose.p))
+            abs_q_pred_list.append(test_pair.abs_q_pred[rid])
+        else:
+            correspondence.append((test_pair.x_te, test_pair.train_abs_pose.p))
+            abs_q_pred_list.append(test_pair.abs_q_pred)
+    abs_c_pred = triangulate_multi_views(correspondence)
+    abs_q_pred = np.mean(np.vstack(abs_q_pred_list), axis=0)
+    return AbsPose(abs_q_pred, abs_c_pred)
+
+
+def local_optimisation(test_pair_list, abs_pose_best, thres_multiplier, thres,
+                       in_iter, pair_type):
+    """(reference localize.py:638-664)"""
+    inlier_mult = find_inliers(abs_pose_best, test_pair_list,
+                               thres_multiplier * thres, pair_type=pair_type)
+    abs_pose_mult = estimate_model(test_pair_list, inlier_mult, pair_type)
+    inlier_base = find_inliers(abs_pose_mult, test_pair_list, thres,
+                               pair_type=pair_type)
+
+    inlier_base_sample = list(inlier_base)
+    all_abs_poses = [abs_pose_best, abs_pose_mult]
+    num_inlier_subsample = min(14, int(len(inlier_base) / 2))
+    if num_inlier_subsample > 2:
+        for _ in range(in_iter):
+            np.random.shuffle(inlier_base_sample)
+            inlier_subsample = inlier_base_sample[:num_inlier_subsample]
+            all_abs_poses.append(
+                estimate_model(test_pair_list, inlier_subsample, pair_type))
+
+    inlier_local_best = []
+    pose_local_best = None
+    for abs_pose in all_abs_poses:
+        inlier_ = find_inliers(abs_pose, test_pair_list, thres, pair_type=pair_type)
+        if len(inlier_) > len(inlier_local_best):
+            inlier_local_best = inlier_
+            pose_local_best = abs_pose
+    return inlier_local_best, pose_local_best
+
+
+def ransac(pair_data, inlier_thres, thres_multiplier=1.414, in_iter=10,
+           pair_type="ess", err_thres=((0.25, 2), (0.5, 5), (5, 10)),
+           loc_results=None):
+    """Pose-graph RANSAC over reference-pair combinations
+    (reference localize.py:471-635)."""
+    abs_c_dist_err, abs_c_ang_err, abs_q_err = [], [], []
+    rela_t_err, rela_q_err = [], []
+    passed = [0 for _ in err_thres]
+    approx_queries = []
+    for test_im in pair_data:
+        test_abs_pose = pair_data[test_im]["test_abs_pose"]
+        test_pair_list = pair_data[test_im]["test_pairs"]
+        num_pair = len(test_pair_list)
+
+        if num_pair == 0:
+            # no valid pairs: sentinel errors; medians are robust to them
+            cerr, qerr = 1000, 180
+            abs_c_dist_err.append(cerr)
+            abs_c_ang_err.append(qerr)
+            abs_q_err.append(qerr)
+            rela_t_err.append(qerr)
+            rela_q_err.append(qerr)
+            if loc_results is not None:
+                loc_results[test_im] = None
+        else:
+            inlier_best = []
+            abs_pose_best = None
+            approximated = False
+            for inlier_min in itertools.combinations(range(num_pair), 2):
+                if pair_type == "ess":
+                    pair0 = test_pair_list[inlier_min[0]]
+                    pair1 = test_pair_list[inlier_min[1]]
+                    # choose the rotation combination with smallest angle gap
+                    err_min, id0, id1 = 1000, -1, -1
+                    for i in range(2):
+                        for j in range(2):
+                            err = cal_quat_angle_error(
+                                pair0.abs_q_pred[i], pair1.abs_q_pred[j])
+                            if err < err_min:
+                                err_min, id0, id1 = err, i, j
+                    abs_q_hypo = np.mean(
+                        np.vstack([pair0.abs_q_pred[id0], pair1.abs_q_pred[id1]]),
+                        axis=0)
+                    abs_c_hypo = triangulate_two_views(
+                        pair0.x_te[id0], pair0.train_abs_pose.p,
+                        pair1.x_te[id1], pair1.train_abs_pose.p)
+                    abs_pose_hypo = AbsPose(abs_q_hypo, abs_c_hypo)
+                else:
+                    abs_pose_hypo = estimate_model(test_pair_list, inlier_min,
+                                                   pair_type)
+                inlier_hypo = find_inliers(abs_pose_hypo, test_pair_list,
+                                           inlier_thres, pair_type=pair_type)
+
+                if len(inlier_hypo) >= 2 and len(inlier_hypo) > len(inlier_best):
+                    inlier_best = inlier_hypo
+                    abs_pose_best = abs_pose_hypo
+                    inlier_lo, pose_lo = local_optimisation(
+                        test_pair_list, abs_pose_best, thres_multiplier,
+                        inlier_thres, in_iter, pair_type)
+                    if len(inlier_lo) > len(inlier_best):
+                        inlier_best = inlier_lo
+                        abs_pose_best = pose_lo
+
+            if abs_pose_best is None or len(inlier_best) == 0:
+                # fall back to the first reference's pose
+                pair = test_pair_list[0]
+                abs_pose_best = pair.train_abs_pose
+                inlier_best = [0]
+                approx_queries.append(test_im)
+                approximated = True
+
+            if pair_type == "ess":
+                find_inliers(abs_pose_best, test_pair_list, inlier_thres,
+                             pair_type=pair_type, update_trans=True)
+
+            train_abs_c_list = []
+            t_err, q_err = [], []
+            cumulative_correspondences_inliers = 0
+            for i in inlier_best:
+                test_pair = test_pair_list[i]
+                train_abs_c_list.append(test_pair.train_abs_pose.c)
+                if pair_type == "ess":
+                    t_err.append(cal_vec_angle_error(test_pair.t,
+                                                     test_pair.rela_pose_lbl.t))
+                    q_err.append(cal_quat_angle_error(test_pair.get_rela_q(),
+                                                      test_pair.rela_pose_lbl.q))
+                else:
+                    t_err.append(cal_vec_angle_error(test_pair.rela_pose_pred.t,
+                                                     test_pair.rela_pose_lbl.t))
+                    q_err.append(cal_quat_angle_error(test_pair.rela_pose_pred.q,
+                                                      test_pair.rela_pose_lbl.q))
+                cumulative_correspondences_inliers += test_pair.inliers
+            rela_t_err.append(np.mean(t_err))
+            rela_q_err.append(np.mean(q_err))
+
+            train_abs_c = (np.vstack(train_abs_c_list)
+                           if len(train_abs_c_list) > 1 else train_abs_c_list[0])
+            cerr = np.linalg.norm(test_abs_pose.c - abs_pose_best.c)
+            abs_c_dist_err.append(cerr)
+
+            with warnings.catch_warnings():
+                warnings.filterwarnings("error", category=RuntimeWarning)
+                try:
+                    if approximated:
+                        abs_c_ang_err.append(0.0)
+                    else:
+                        abs_c_ang_err.append(np.mean(cal_vec_angle_error(
+                            test_abs_pose.c - train_abs_c,
+                            abs_pose_best.c - train_abs_c)))
+                except Warning:
+                    print("Warning caught during abs angle error calculation")
+                    print(f"Test im {test_im}, num_pair {len(test_pair_list)}")
+
+            qerr = cal_quat_angle_error(test_abs_pose.q, abs_pose_best.q).squeeze()
+            abs_q_err.append(qerr)
+
+            if loc_results is not None:
+                loc_results[test_im] = {
+                    "abs_pose_lbl": test_abs_pose,
+                    "abs_pose_pred": abs_pose_best,
+                    "relv_pose_list": test_pair_list,
+                    "inliers": cumulative_correspondences_inliers,
+                    "approximated": approximated,
+                    "abs_t_err": float(cerr),
+                    "abs_r_err": float(qerr),
+                }
+
+        for i, thres in enumerate(err_thres):
+            cerr_thres, qerr_thres = thres
+            if cerr < cerr_thres and qerr < qerr_thres:
+                passed[i] += 1
+
+    num_tested = len(abs_c_dist_err)
+    pass_rate = [100.0 * count / num_tested for count in passed]
+    return num_tested, approx_queries, pass_rate, (
+        np.median(rela_t_err), np.median(rela_q_err), np.median(abs_c_dist_err),
+        np.median(abs_c_ang_err), np.median(abs_q_err),
+    )
+
+
+def eval_pipeline_with_ransac(result_dict, log, ransac_thres, ransac_iter,
+                              ransac_miu, pair_type, err_thres, save_res_path=None):
+    """(reference localize.py:120-161)"""
+    print(
+        f">>>>Evaluate model with Ransac(iter={ransac_iter}, miu={ransac_miu}) "
+        f"Error thres:{err_thres})"
+    )
+    t1 = time.time()
+    best_abs_err = None
+    for thres in ransac_thres:
+        avg_err, avg_pass = [], []
+        print(f"\n>>Ransac threshold:{thres}")
+        loc_results_dict = {}
+        for dataset in result_dict:
+            start_time = time.time()
+            pair_data = result_dict[dataset]["pair_data"]
+            loc_results_dict[dataset] = {} if save_res_path else None
+            pt = "relapose" if pair_type == "angess" else pair_type
+            tested_num, approx_queries, pass_rate, err_res = ransac(
+                pair_data, thres, in_iter=ransac_iter, pair_type=pt,
+                err_thres=err_thres, loc_results=loc_results_dict[dataset])
+            avg_err.append(err_res)
+            avg_pass.append(pass_rate)
+            name = dataset[0: min(10, len(dataset))]
+            print(
+                f"Dataset:{name} Bad/All:{len(approx_queries)}/{tested_num}, "
+                f"Rela:(t{err_res[0]:.2f}deg, r{err_res[1]:.2f}deg) "
+                f"Abs:(t{err_res[2]:.2f}m/{err_res[3]:.2f}deg, r{err_res[4]:.2f}deg) "
+                "Pass:" + "/".join(f"{v:.2f}%" for v in pass_rate)
+            )
+
+        avg_err = tuple(np.mean(avg_err, axis=0))
+        avg_pass = (tuple(np.mean(avg_pass, axis=0)) if len(err_thres) > 1
+                    else tuple(avg_pass))
+        if best_abs_err is None or best_abs_err[0] > avg_err[2]:
+            best_abs_err = (avg_err[2], avg_err[4])
+        print(
+            f"Avg: Rela:(t{avg_err[0]:.2f}deg, r{avg_err[1]:.2f}deg) "
+            f"Abs:(t{avg_err[2]:.2f}m/{avg_err[3]:.2f}deg, r{avg_err[4]:.2f}deg) "
+            "Pass:" + "/".join(f"{v:.2f}%" for v in avg_pass)
+        )
+        if save_res_path:
+            np.save(save_res_path, loc_results_dict)
+    print(f"Ransac testing time: {time.time() - t1}s\n")
+    return best_abs_err, avg_pass
+
+
+# ------------------------------------------------------- result reporting ---
+
+
+def save_results_visualisation(file_path):
+    """Per-scene txt of predicted absolute query poses
+    (reference localize.py:51-69)."""
+    results_dict = np.load(file_path, allow_pickle=True).item()
+    out_file_path = os.path.join(os.path.split(file_path)[0], "pose_")
+    for scene, scene_res in results_dict.items():
+        with open(out_file_path + scene + ".txt", "w") as f:
+            for test_im, res in scene_res.items():
+                if res is None:
+                    continue
+                abs_pose = res["abs_pose_pred"]
+                inliers = res["inliers"]
+                formatter = {"float": lambda v: f"{v:.6f}"}
+                q_str = np.array2string(abs_pose.q, formatter=formatter,
+                                        max_line_width=1000)[1:-1]
+                t_str = np.array2string(abs_pose.t, formatter=formatter,
+                                        max_line_width=1000)[1:-1]
+                f.write(f"{test_im} {q_str} {t_str} {inliers} \n")
+
+
+def generate_precision_recall_plots(file_path, pose_threshold):
+    """Per-scene + whole-dataset PR-curve JPGs (reference localize.py:72-118)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    results_dict = np.load(file_path, allow_pickle=True).item()
+    out_file_path = os.path.join(os.path.split(file_path)[0], "pr_")
+
+    all_inliers, all_terr, all_rerr = [], [], []
+    all_failures = 0
+
+    def plot(prec, rec):
+        plt.figure()
+        plt.plot(rec, prec, drawstyle="steps-post")
+        plt.xlabel("Recall")
+        plt.ylabel("Precision")
+        plt.xlim(0, 1)
+        plt.ylim(0, 1.1)
+
+    failures = 0
+    for scene, scene_res in results_dict.items():
+        terr = np.array([r["abs_t_err"] for r in scene_res.values() if r is not None])
+        rerr = np.array([r["abs_r_err"] for r in scene_res.values() if r is not None])
+        inliers = np.array([r["inliers"] for r in scene_res.values() if r is not None])
+        failures = sum(1 for r in scene_res.values() if r is None)
+        all_terr.append(terr)
+        all_rerr.append(rerr)
+        all_inliers.append(inliers)
+        all_failures += failures
+        prec, rec, ap = precision_recall_pose_error(
+            inliers, terr, rerr, failures, pose_threshold)
+        plot(prec, rec)
+        plt.title(f"Scene {scene}. AP={ap:.2f}")
+        plt.tight_layout()
+        plt.savefig(out_file_path + scene + ".jpg")
+        plt.close()
+
+    terr = np.concatenate(all_terr)
+    rerr = np.concatenate(all_rerr)
+    inliers = np.concatenate(all_inliers)
+    prec, rec, ap = precision_recall_pose_error(
+        inliers, terr, rerr, failures, pose_threshold)
+    plot(prec, rec)
+    plt.title(f"Dataset. AP={ap:.2f}")
+    plt.tight_layout()
+    plt.savefig(out_file_path + "all.jpg")
+    plt.close()
