@@ -75,6 +75,26 @@ def test_multi_merge_helper(cfg):
     assert cfg.DATASET.QUERY_FRAME_COUNT == 9
 
 
+def test_own_yaml_tree_loads():
+    """Every generated config must merge cleanly over its dataset config."""
+    dataset_cfgs = {
+        "mapfree": REPO / "configs/mapfree.yaml",
+        "scannet": REPO / "configs/scannet.yaml",
+        "sevenscenes": REPO / "configs/sevenscenes.yaml",
+    }
+    yamls = sorted((REPO / "configs").rglob("*.yaml"))
+    assert len(yamls) > 50
+    for y in yamls:
+        c = default_cfg.clone()
+        for name, dpath in dataset_cfgs.items():
+            if name in str(y):
+                c.merge_from_file(dpath)
+                break
+        else:
+            c.merge_from_file(REPO / "configs/mapfree.yaml")
+        c.merge_from_file(y)
+
+
 def test_reference_yaml_tree_loads(cfg):
     """The reference repo's own YAML tree must load unmodified (same schema)."""
     ref_cfg_root = Path("/root/reference/config")
