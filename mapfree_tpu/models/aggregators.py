@@ -54,7 +54,21 @@ class CorrelationVolumeWarping(nn.Module):
     cv_half_channels: bool = False
     upsample_pos_enc: int = 0
     dustbin: bool = False
+    fused: bool = True  # use the Pallas fused kernel on TPU when applicable
     dtype: Any = jnp.float32
+
+    def _can_fuse(self) -> bool:
+        """The fused kernel covers every variant except the dustbin softmax
+        structure and the compressed-CV channels (which need the full
+        correlation volume)."""
+        from mapfree_tpu.ops.correlation import fused_path_available
+
+        return (
+            self.fused
+            and not self.dustbin
+            and self.cv_outlayers == 0
+            and fused_path_available()
+        )
 
     @nn.compact
     def __call__(self, vol0, vol1, train: bool = False):
@@ -67,6 +81,39 @@ class CorrelationVolumeWarping(nn.Module):
         if self.normalise_dot:
             f0 = f0 / jnp.maximum(jnp.linalg.norm(f0, axis=-1, keepdims=True), 1e-12)
             f1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-12)
+
+        if self._can_fuse():
+            from mapfree_tpu.ops.correlation import fused_correlation_warp
+
+            q = f0[..., : C // 2] if self.cv_half_channels else f0
+            k = f1[..., : C // 2] if self.cv_half_channels else f1
+            grid = _uv_grid(H, W, jnp.float32)
+            warped1, pos_enc, max_score = fused_correlation_warp(q, k, f1, grid)
+
+            parts = [f0.astype(jnp.float32), warped1]
+            if self.position_encoder:
+                parts.append(pos_enc)
+                if self.position_encoder_im1:
+                    parts.append(jnp.broadcast_to(grid[None], (B, HW, 2)))
+                if self.upsample_pos_enc > 0:
+                    feats = (
+                        jnp.concatenate(
+                            [pos_enc, jnp.broadcast_to(grid[None], (B, HW, 2))],
+                            axis=-1,
+                        )
+                        if self.position_encoder_im1
+                        else pos_enc
+                    )
+                    feats = feats.reshape(B, H, W, -1).astype(self.dtype)
+                    feats = PreActBlock(
+                        self.upsample_pos_enc, dtype=self.dtype,
+                        name="pos_encoder_block",
+                    )(feats, train)
+                    parts.append(feats.reshape(B, HW, -1).astype(jnp.float32))
+            if self.max_score_channel:
+                parts.append(max_score)
+            agg = jnp.concatenate(parts, axis=-1)
+            return agg.reshape(B, H, W, -1).astype(self.dtype)
 
         if self.cv_half_channels:
             corr = jnp.einsum(
@@ -152,6 +199,7 @@ class CorrelationVolumeWarpingQKV(nn.Module):
     max_score_channel: bool = False
     normalise_dot: bool = False
     residual_att: bool = False
+    fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -178,6 +226,21 @@ class CorrelationVolumeWarpingQKV(nn.Module):
         if self.normalise_dot:
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
             k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+
+        from mapfree_tpu.ops.correlation import fused_path_available
+
+        if self.fused and fused_path_available():
+            from mapfree_tpu.ops.correlation import fused_correlation_warp
+
+            grid = _uv_grid(H, W, jnp.float32)
+            warped1, pos_enc, max_score = fused_correlation_warp(q, k, v1, grid)
+            parts = [v0.astype(jnp.float32), warped1]
+            if self.position_encoder:
+                parts.append(pos_enc)
+            if self.max_score_channel:
+                parts.append(max_score)
+            agg = jnp.concatenate(parts, axis=-1)
+            return agg.reshape(B, H, W, -1).astype(self.dtype)
 
         corr = jnp.einsum("bic,bjc->bij", q, k, preferred_element_type=jnp.float32)
         cvol = nn.softmax(jnp.nan_to_num(corr), axis=2)
