@@ -137,6 +137,41 @@ class SIFTMatching:
         return pad_correspondences(corr_list, self.max_n)
 
 
+class TPUSIFTMatching:
+    """Fully on-device SIFT: the framework's batched DoG detector/descriptor
+    (ops/sift.py) + exact 2-NN ratio matching. One jitted dispatch per batch —
+    no host OpenCV in the loop."""
+
+    def __init__(self, cfg):
+        self.ratio_threshold = float(cfg.SIFT.RATIO_THRESHOLD)
+        self.num_features = int(cfg.SIFT.NUM_FEATURES)
+        self.max_n = int(cfg.TPU.MAX_CORRESPONDENCES)
+
+    def get_correspondences(self, batch):
+        from mapfree_tpu.ops.sift import root_sift, sift_detect_describe
+
+        gray_w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+        img0 = jnp.asarray(batch["image0"]) @ gray_w
+        img1 = jnp.asarray(batch["image1"]) @ gray_w
+        out0 = sift_detect_describe(img0, num_features=self.num_features)
+        out1 = sift_detect_describe(img1, num_features=self.num_features)
+
+        idx1, ok = mutual_2nn_ratio_match(
+            root_sift(out0["descriptors"]), root_sift(out1["descriptors"]),
+            out0["mask"], out1["mask"], self.ratio_threshold,
+        )
+        kp0 = np.asarray(out0["keypoints"])
+        kp1 = np.asarray(out1["keypoints"])
+        idx1 = np.asarray(idx1)
+        ok = np.asarray(ok)
+        corr_list = []
+        for i in range(kp0.shape[0]):
+            sel = ok[i]
+            corr_list.append(
+                np.concatenate([kp0[i][sel], kp1[i][idx1[i][sel]]], axis=-1))
+        return pad_correspondences(corr_list, self.max_n)
+
+
 class FeatureMatchingModel:
     """Dispatch cfg.FEATURE_MATCHING x cfg.POSE_SOLVER, batched."""
 
@@ -144,6 +179,8 @@ class FeatureMatchingModel:
         self.cfg = cfg
         if cfg.FEATURE_MATCHING == "SIFT":
             self.feature_matching = SIFTMatching(cfg)
+        elif cfg.FEATURE_MATCHING == "SIFT_TPU":
+            self.feature_matching = TPUSIFTMatching(cfg)
         elif cfg.FEATURE_MATCHING == "Precomputed":
             self.feature_matching = PrecomputedMatching(cfg)
         else:
