@@ -95,6 +95,14 @@ def fit(cfg, experiment: str = "default", resume: str | None = None,
         logs = run_validation(val_step, state, batches)
         return logs
 
+    # optional jax.profiler trace of the first few steps (SURVEY.md §5:
+    # the reference has no tracing; the TPU build exposes one)
+    profile_dir = cfg.TPU.PROFILE_DIR
+    profile_until = None
+    if profile_dir:
+        jax.profiler.start_trace(str(profile_dir))
+        profile_until = int(state.step) + 20
+
     step = int(state.step)
     t_start = time.time()
     for epoch in range(int(cfg.TRAINING.EPOCHS)):
@@ -102,6 +110,11 @@ def fit(cfg, experiment: str = "default", resume: str | None = None,
             dbatch = _device_batch(batch, mesh, batch_size)
             state, logs = train_step(state, dbatch)
             step += 1
+
+            if profile_until is not None and step >= profile_until:
+                jax.profiler.stop_trace()
+                profile_until = None
+                print(f"[fit] profiler trace written to {profile_dir}")
 
             if step % log_every == 0:
                 host_logs = {k: float(v) for k, v in logs.items()}
