@@ -17,6 +17,29 @@ try:
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
+try:
+    import mapfree_native  # C++ batch JPEG decode (native/decoder.cpp)
+
+    _HAS_NATIVE = True
+except Exception:  # pragma: no cover
+    _HAS_NATIVE = False
+
+
+def decode_resize_batch(paths, width: int, height: int, num_threads: int = 0):
+    """Decode+resize a batch of JPEGs to float32 NHWC [0, 1] in one call.
+
+    Uses the native C++ thread-pool decoder when built (python native/build.py
+    — releases the GIL, one allocation for the whole batch), else falls back
+    to per-image cv2 decode.
+    """
+    if _HAS_NATIVE:
+        return mapfree_native.decode_resize_batch(
+            [str(p) for p in paths], width, height, num_threads
+        )
+    return np.stack(
+        [read_color_image(p, resize=(width, height)) for p in paths]
+    )
+
 
 def imread_rgb(path) -> np.ndarray:
     """Read an image as RGB uint8 [H, W, 3]."""
