@@ -149,13 +149,17 @@ def _skip_concat(x1, x2):
     return jnp.concatenate([x2, x1], axis=-1)
 
 
-def build_encoder(encoder_cfg, dtype=jnp.float32) -> nn.Module:
+def build_encoder(encoder_cfg, dtype=jnp.float32, remat: bool = False) -> nn.Module:
+    """remat=True rematerialises encoder activations in the backward pass
+    (jax.checkpoint): trades recompute FLOPs for HBM during training."""
     num_blocks = parse_num_blocks(encoder_cfg.NUM_BLOCKS)
     if encoder_cfg.TYPE == "ResNet":
-        return ResNet(encoder_cfg.BLOCK_TYPE, num_blocks, dtype=dtype, name="encoder")
+        cls = nn.remat(ResNet, static_argnums=(2,)) if remat else ResNet
+        return cls(encoder_cfg.BLOCK_TYPE, num_blocks, dtype=dtype, name="encoder")
     if encoder_cfg.TYPE == "ResUNet":
         n = encoder_cfg.NUM_OUT_LAYERS
-        return ResUNet(
+        cls = nn.remat(ResUNet, static_argnums=(2,)) if remat else ResUNet
+        return cls(
             encoder_cfg.BLOCK_TYPE,
             num_blocks,
             num_out_layers=128 if n is None else n,

@@ -61,7 +61,8 @@ class RegressionNet(nn.Module):
 
 def build_regression_net(cfg) -> RegressionNet:
     compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
-    encoder = build_encoder(cfg.ENCODER, dtype=compute_dtype)
+    encoder = build_encoder(cfg.ENCODER, dtype=compute_dtype,
+                            remat=bool(cfg.TPU.REMAT))
     aggregator = build_aggregator(cfg.AGGREGATOR, dtype=compute_dtype)
     head = build_head(cfg, dtype=compute_dtype)
     return RegressionNet(

@@ -1,0 +1,32 @@
+"""Host batch -> device helpers (API parity with reference lib/utils/data.py:4-17,
+which moves torch tensors to the model's device; here numeric leaves go to
+the default JAX device or a sharded mesh placement)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_NUMERIC = (np.ndarray, np.generic, int, float)
+
+
+def data_to_device(batch: dict, mesh=None) -> dict:
+    """Move numeric batch entries to device (sharded over the mesh's data
+    axis when a mesh is given); metadata (strings, lists of names) stays on
+    host."""
+    from mapfree_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, jax.Array):
+            out[k] = v if sharding is None else jax.device_put(v, sharding)
+        elif isinstance(v, _NUMERIC):
+            arr = jnp.asarray(v)
+            out[k] = arr if sharding is None else jax.device_put(arr, sharding)
+        else:
+            out[k] = v
+    return out

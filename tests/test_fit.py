@@ -1,0 +1,113 @@
+"""End-to-end training-driver test: synthetic scenes -> fit() -> checkpoints,
+logs, resumable state; plus the multi-frame submission path."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fixtures import make_device_poses, make_scene
+
+from mapfree_tpu.config import cfg as default_cfg
+
+H, W = 32, 32
+
+
+def fit_cfg(tmp_path):
+    c = default_cfg.clone()
+    c.MODEL = "Regression"
+    c.ENCODER.TYPE = "ResUNet"
+    c.ENCODER.BLOCK_TYPE = 0
+    c.ENCODER.NUM_BLOCKS = "1-1-1"
+    c.ENCODER.NUM_OUT_LAYERS = 8
+    c.AGGREGATOR.TYPE = "CorrelationVolumeWarping"
+    c.AGGREGATOR.POSITION_ENCODER = True
+    c.AGGREGATOR.MAX_SCORE_CHANNEL = True
+    c.HEAD.TYPE = "ProcrustesDeepResBlock"
+    c.HEAD.ADD_BASIS = True
+    c.HEAD.AVG_POOL = True
+    c.DATASET.DATA_SOURCE = "MapFree"
+    c.DATASET.DATA_ROOT = str(tmp_path)
+    c.DATASET.HEIGHT = H
+    c.DATASET.WIDTH = W
+    c.DATASET.MIN_OVERLAP_SCORE = 0.0
+    c.DATASET.MAX_OVERLAP_SCORE = 1.0
+    c.TRAINING.BATCH_SIZE = 8
+    c.TRAINING.NUM_WORKERS = 2
+    c.TRAINING.SAMPLER = "scene_balance"
+    c.TRAINING.N_SAMPLES_SCENE = 8
+    c.TRAINING.SAMPLE_WITH_REPLACEMENT = True
+    c.TRAINING.LR = 1e-3
+    c.TRAINING.LOG_INTERVAL = 1
+    c.TRAINING.VAL_INTERVAL = 1.0
+    c.TRAINING.VAL_BATCHES = 1
+    c.TRAINING.EPOCHS = 1
+    c.TPU.COMPUTE_DTYPE = "float32"
+    return c
+
+
+def test_fit_end_to_end(tmp_path):
+    from mapfree_tpu.train.fit import fit
+
+    for i in range(2):
+        make_scene(tmp_path / "train" / f"s{i}", n_queries=8, img_hw=(H, W),
+                   train=True, seed=i)
+        make_scene(tmp_path / "val" / f"s{i}", n_queries=8, img_hw=(H, W),
+                   seed=10 + i)
+    cfg = fit_cfg(tmp_path)
+    weights = tmp_path / "weights"
+    state = fit(cfg, experiment="t", weights_dir=str(weights), max_steps=2)
+    assert int(state.step) == 2
+
+    # 'last' checkpoint + scalar log exist
+    assert (weights / "t" / "last").exists()
+    log_lines = (weights / "t" / "scalars.jsonl").read_text().splitlines()
+    assert len(log_lines) >= 1
+    rec = json.loads(log_lines[0])
+    assert "train/loss" in rec and np.isfinite(rec["train/loss"])
+
+    # resume from 'last' continues at the saved step
+    state2 = fit(cfg, experiment="t", weights_dir=str(weights), resume="last",
+                 max_steps=3)
+    assert int(state2.step) == 3
+
+
+def test_multiframe_submission(tmp_path):
+    from mapfree_tpu.benchmark.mapfree import run as run_benchmark
+    from mapfree_tpu.data import DataLoader, MapFreeDataset
+    from mapfree_tpu.models.builder import build_model
+    from mapfree_tpu.utils.submission import predict, save_submission
+
+    root = tmp_path / "val" / "s00000"
+    poses = make_scene(root, n_queries=21, img_hw=(H, W), seed=4)
+    make_device_poses(root, poses)
+
+    cfg = fit_cfg(tmp_path)
+    cfg.MODEL = "RegressionMultiFrame"
+    cfg.DATASET.QUERY_FRAME_COUNT = 9
+    cfg.TPU.INFER_BATCH = 2
+
+    dataset = MapFreeDataset(cfg, "val")
+    assert len(dataset) == 2  # windows ending at query frames 9 and 19
+    loader = DataLoader(dataset, batch_size=2, num_workers=1)
+    model = build_model(cfg)
+    results = predict(loader, model)
+    assert len(results["s00000"]) == 2
+    # query image names are the LAST window frames
+    names = {p.image_name for p in results["s00000"]}
+    assert names == {"seq1/frame_00009.jpg", "seq1/frame_00019.jpg"}
+
+    out = tmp_path / "results"
+    out.mkdir()
+    save_submission(results, out / "submission.zip")
+    from zipfile import ZipFile
+
+    with ZipFile(out / "submission.zip") as z:
+        lines = z.read("pose_s00000.txt").decode().splitlines()
+        assert len(lines) == 2
+        assert all(len(l.split(" ")) == 9 for l in lines)
+    # note: the official evaluator subsamples GT every 5th frame
+    # (reference benchmark/mapfree.py:50), so multi-frame query indices
+    # (9, 19, ...) are scored only on the real extended dataset's numbering;
+    # its behaviour is covered by the single-frame integration tests.

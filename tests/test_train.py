@@ -98,6 +98,17 @@ class TestTrainStep:
             float(logs_l["train/loss"]), rel=1e-4
         )
 
+    def test_remat_training_step(self):
+        """TPU.REMAT wraps the encoder in jax.checkpoint; the train step must
+        still compile and produce finite gradients."""
+        cfg = tiny_cfg(**{"TPU.REMAT": True})
+        net = build_regression_net(cfg)
+        batch = make_batch(B=4)
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+        step = make_train_step(net, cfg, donate=False)
+        _, logs = step(state, batch)
+        assert np.isfinite(float(logs["train/loss"]))
+
     def test_kendall_logging(self):
         cfg = tiny_cfg(**{"TRAINING.LAMBDA": 0.0})
         net = build_regression_net(cfg)
