@@ -55,6 +55,24 @@ class TestFusedCorrelation:
         warped_r, pos_r, ms_r = reference_math(qh, kh, v, grid)
         assert np.allclose(np.asarray(warped), np.asarray(warped_r), atol=1e-5)
 
+    def test_custom_vjp_matches_autodiff(self):
+        """The backward Pallas kernel must reproduce XLA autodiff gradients,
+        including the max-score output's argmax-routed gradient."""
+        q, k, v, grid = self._data(H=6, W=8, C=16)
+
+        def loss_fused(q, k, v):
+            w, p, m = fused_correlation_warp(q, k, v, grid, True, 256)
+            return jnp.sum(w**2) + jnp.sum(p * 0.3) + jnp.sum(m**2)
+
+        def loss_ref(q, k, v):
+            w, p, m = reference_math(q, k, v, grid)
+            return jnp.sum(w**2) + jnp.sum(p * 0.3) + jnp.sum(m**2)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
     def test_bf16_inputs(self):
         q, k, v, grid = self._data()
         warped, pos, ms = fused_correlation_warp(
