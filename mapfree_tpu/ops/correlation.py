@@ -67,15 +67,13 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, hw: int):
     out_ref[0, :, -1:] = inv_d  # peak softmax probability of each row
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref, dq_ref, dk_ref, dv_ref,
-                *, hw: int):
-    """Backward for one (batch, row-block) program: recompute the softmax
-    block, apply the softmax VJP (including the 1/denominator max-score
-    output), emit dq for this row block and accumulate dk/dv across row
-    blocks (the TPU grid iterates sequentially, so revisiting the same output
-    block is a safe read-modify-write)."""
-    i = pl.program_id(1)
-
+def _bwd_rows_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref,
+                     dq_ref, stats_ref, *, hw: int):
+    """Backward row pass for one (batch, row-block) program: recompute the
+    softmax block, apply the softmax VJP (the max-score output's cotangent
+    enters as a one-hot at the argmax column), emit dq for this row block and
+    the per-row statistics (max m, denom d, vjp constant c, argmax index) the
+    column pass needs."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0].astype(jnp.float32)
@@ -87,20 +85,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref, dq_ref, dk_ref, dv_ref,
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     d = jnp.sum(e, axis=1, keepdims=True)
-    inv_d = 1.0 / d
-    p = e * inv_d  # [rM, HWp]
+    p = e / d  # [rM, HWp]
 
     dmain = dmain_ref[0].astype(jnp.float32)  # [rM, Cv] cotangent of P @ V
-    ds_out = ds_ref[0].astype(jnp.float32)    # [rM, 1] cotangent of 1/d
+    ds_out = ds_ref[0].astype(jnp.float32)    # [rM, 1] cotangent of max-score
 
     dP = jax.lax.dot_general(
         dmain, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [rM, HWp]
-    # the max-score output is the softmax value at the argmax column, so its
-    # cotangent enters the softmax VJP as a one-hot row at the argmax
-    amax = jnp.argmax(s, axis=1, keepdims=True)  # [rM, 1]
+    amax = jnp.argmax(s, axis=1, keepdims=True)
     dP = dP + jnp.where(col == amax, ds_out, 0.0)
-    # softmax VJP: dS = P * (dP - sum(dP * P))
     c = jnp.sum(dP * p, axis=1, keepdims=True)
     dS = p * (dP - c)
     dS = jnp.where(col < hw, dS, 0.0)
@@ -108,20 +102,61 @@ def _bwd_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref, dq_ref, dk_ref, dv_ref,
     dq_ref[0] = jax.lax.dot_general(
         dS, k.astype(jnp.float32), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    stats_ref[0] = jnp.concatenate(
+        [m, d, c, amax.astype(jnp.float32)], axis=-1)  # [rM, 4]
+
+
+def _bwd_cols_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref, stats_ref,
+                     dk_ref, dv_ref, *, hw: int, r_chunk: int):
+    """Backward column pass for one (batch, col-block, row-chunk) program:
+    rebuild the transposed softmax tile [cN, rChunk] from the row statistics,
+    form dS for the tile, and accumulate this row chunk's contribution to the
+    column block's dk/dv (the TPU grid iterates the row-chunk axis
+    sequentially, so revisiting the dk/dv block is a safe read-modify-write).
+    All tiles are [cN, rChunk] — VMEM stays small regardless of HW."""
+    r = pl.program_id(2)
+
+    q = q_ref[0]                       # [rChunk, Cq] this row chunk
+    k = k_ref[0]                       # [cN, Cq]     this column block
+    v = v_ref[0].astype(jnp.float32)   # [cN, Cv]
+    dmain = dmain_ref[0].astype(jnp.float32)  # [rChunk, Cv]
+    ds_out = ds_ref[0].astype(jnp.float32)    # [rChunk, 1]
+    stats = stats_ref[0]               # [rChunk, 4] -> m, d, c, amax
+    m = stats[:, 0][None, :]           # [1, rChunk]
+    d = stats[:, 1][None, :]
+    c = stats[:, 2][None, :]
+    amax = stats[:, 3][None, :].astype(jnp.int32)
+    ds_row = ds_out[:, 0][None, :]     # [1, rChunk]
+
+    s_t = jax.lax.dot_general(
+        k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [cN, rChunk]: s_t[j, i]
+    j0 = pl.program_id(1) * s_t.shape[0]
+    i0 = r * r_chunk
+    jidx = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, dimension=0) + j0
+    iidx = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, dimension=1) + i0
+    valid = (jidx < hw) & (iidx < hw)
+    p_t = jnp.where(valid, jnp.exp(s_t - m) / d, 0.0)
+
+    dP_t = jax.lax.dot_general(
+        v, dmain, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [cN, rChunk]
+    dP_t = dP_t + jnp.where(jidx == amax, ds_row, 0.0)
+    dS_t = jnp.where(valid, p_t * (dP_t - c), 0.0)
 
     dk_update = jax.lax.dot_general(
-        dS, q.astype(jnp.float32), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [HWp, Cq]
+        dS_t, q.astype(jnp.float32), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [cN, Cq]
     dv_update = jax.lax.dot_general(
-        p, dmain, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [HWp, Cv]
+        p_t, dmain, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [cN, Cv]
 
-    @pl.when(i == 0)
+    @pl.when(r == 0)
     def _():
         dk_ref[0] = dk_update
         dv_ref[0] = dv_update
 
-    @pl.when(i > 0)
+    @pl.when(r > 0)
     def _():
         dk_ref[0] += dk_update
         dv_ref[0] += dv_update
@@ -191,8 +226,12 @@ def _fcw_bwd(interpret, row_block, residuals, cotangents):
 
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
-    rM = 128  # smaller rows: the backward holds two [rM, HWp] f32 blocks
-    HWp = _round_up(HW, rM)
+    # Mosaic stack-allocates every temporary, so tile sizes are set by the
+    # VMEM budget (16 MB), not MXU preference
+    rM = 64        # row-pass block: several [rM, HWp] f32 intermediates
+    cN = 128       # col-pass column block
+    r_chunk = 512  # col-pass row chunk: [cN, r_chunk] tiles
+    HWp = _round_up(HW, max(rM, cN, r_chunk))
     pad = HWp - HW
 
     qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
@@ -204,8 +243,9 @@ def _fcw_bwd(interpret, row_block, residuals, cotangents):
         jnp.concatenate([d_warped, d_pos], axis=-1), ((0, 0), (0, pad), (0, 0)))
     ds = jnp.pad(d_ms, ((0, 0), (0, pad), (0, 0)))
 
-    dq, dk, dv = pl.pallas_call(
-        partial(_bwd_kernel, hw=HW),
+    # pass 1 (rows): dq + per-row softmax statistics
+    dq, stats = pl.pallas_call(
+        partial(_bwd_rows_kernel, hw=HW),
         grid=(B, HWp // rM),
         in_specs=[
             pl.BlockSpec((1, rM, Cq), lambda b, i: (b, i, 0),
@@ -222,18 +262,47 @@ def _fcw_bwd(interpret, row_block, residuals, cotangents):
         out_specs=(
             pl.BlockSpec((1, rM, Cq), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HWp, Cq), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HWp, Cv + 2), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, rM, 4), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, HWp, Cq), jnp.float32),
+            jax.ShapeDtypeStruct((B, HWp, 4), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dmain, ds)
+
+    # pass 2 (columns x row-chunks): dk/dv per column block, accumulated over
+    # the sequential row-chunk grid axis
+    dk, dv = pl.pallas_call(
+        partial(_bwd_cols_kernel, hw=HW, r_chunk=r_chunk),
+        grid=(B, HWp // cN, HWp // r_chunk),
+        in_specs=[
+            pl.BlockSpec((1, r_chunk, Cq), lambda b, j, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cN, Cq), lambda b, j, r: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cN, Cv + 2), lambda b, j, r: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_chunk, Cv + 2), lambda b, j, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_chunk, 1), lambda b, j, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_chunk, 4), lambda b, j, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cN, Cq), lambda b, j, r: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cN, Cv + 2), lambda b, j, r: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
             jax.ShapeDtypeStruct((B, HWp, Cq), jnp.float32),
             jax.ShapeDtypeStruct((B, HWp, Cv + 2), jnp.float32),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dmain, ds)
+    )(qp, kp, vp, dmain, ds, stats)
 
     dq = dq[:, :HW].astype(q.dtype)
     dk = dk[:, :HW].astype(k.dtype)
