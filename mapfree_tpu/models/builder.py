@@ -18,11 +18,25 @@ from mapfree_tpu.models.regression import build_regression_net
 
 
 class RegressionPredictor:
+    """Jitted batched inference; with more than one device the batch is
+    sharded over the data mesh (one SPMD dispatch per batch)."""
+
     def __init__(self, cfg, checkpoint: str = ""):
+        from mapfree_tpu.parallel.mesh import DATA_AXIS, make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         self.cfg = cfg
         self.net = build_regression_net(cfg)
         H, W = cfg.DATASET.HEIGHT, cfg.DATASET.WIDTH
-        self.batch_size = int(cfg.TPU.INFER_BATCH)
+
+        n_dev = len(jax.devices())
+        self.mesh = make_mesh(cfg) if n_dev > 1 else None
+        batch = int(cfg.TPU.INFER_BATCH)
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            batch = ((batch + n - 1) // n) * n
+        self.batch_size = batch
+
         if cfg.MODEL == "RegressionMultiFrame":
             img1_shape = (self.batch_size, cfg.DATASET.QUERY_FRAME_COUNT, H, W, 3)
         else:
@@ -38,15 +52,23 @@ class RegressionPredictor:
             )
             self.variables = ocp.StandardCheckpointer().restore(checkpoint, abstract)
         else:
-            self.variables = self.net.init(jax.random.PRNGKey(0), img0, img1,
-                                           train=False)
+            self.variables = jax.jit(self.net.init, static_argnums=(3,))(
+                jax.random.PRNGKey(0), img0, img1, False
+            )
 
-        @jax.jit
-        def _predict(image0, image1):
+        def _forward(image0, image1):
             R, t, _ = self.net.apply(self.variables, image0, image1, train=False)
             return R, t
 
-        self._predict = _predict
+        if self.mesh is None:
+            self._predict = jax.jit(_forward)
+        else:
+            sharded = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._predict = jax.jit(
+                _forward,
+                in_shardings=(sharded, sharded),
+                out_shardings=(sharded, sharded),
+            )
 
     def predict_batch(self, batch):
         image0 = np.asarray(batch["image0"], np.float32)

@@ -188,7 +188,7 @@ class FeatureMatchingModel:
 
         self.solver = cfg.POSE_SOLVER
         if self.solver not in ("EssentialMatrix", "EssentialMatrixMetric",
-                               "Procrustes", "PNP"):
+                               "EssentialMatrixMetricMean", "Procrustes", "PNP"):
             raise NotImplementedError("Invalid pose solver")
         self.n_iters = int(cfg.TPU.RANSAC_ITERATIONS)
         self._step = 0
@@ -217,17 +217,22 @@ class FeatureMatchingModel:
                 )
             return jnp.asarray(d)
 
-        if self.solver in ("EssentialMatrix", "EssentialMatrixMetric"):
+        if self.solver.startswith("EssentialMatrix"):
             out = essential_pose(
                 key, pts0, pts1, maskj, K0, K1,
                 float(cfg.EMAT_RANSAC.PIX_THRESHOLD), n_iters=self.n_iters,
             )
             R, t, inl = out["R"], out["t"], out["inliers"]
-            if self.solver == "EssentialMatrixMetric":
+            if self.solver != "EssentialMatrix":
+                # scale aggregation: dense 1-D RANSAC (reference
+                # EssentialMatrixMetricSolver) or cloud-mean projection
+                # (reference ...SolverMEAN, pose_solver.py:64-112)
+                variant = ("mean" if self.solver == "EssentialMatrixMetricMean"
+                           else "ransac")
                 t, inl, ok = metric_scale_from_depth(
                     R, t, pts0, pts1, out["inlier_mask"], depth("depth0"),
                     depth("depth1"), K0, K1,
-                    float(cfg.EMAT_RANSAC.SCALE_THRESHOLD),
+                    float(cfg.EMAT_RANSAC.SCALE_THRESHOLD), variant=variant,
                 )
                 R = jnp.where(ok[:, None, None], R, jnp.nan)
         elif self.solver == "PNP":
