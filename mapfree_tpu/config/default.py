@@ -112,6 +112,7 @@ _CN.TPU.MESH_AXES = ['data']    # mesh axis names
 _CN.TPU.COMPUTE_DTYPE = 'bfloat16'  # matmul/conv compute dtype ('float32' | 'bfloat16')
 _CN.TPU.PARAM_DTYPE = 'float32'
 _CN.TPU.REMAT = False           # rematerialise encoder activations
+_CN.TPU.FUSED_CORRELATION = True  # Pallas fused correlation kernel (TPU only)
 _CN.TPU.SEED = 0
 _CN.TPU.PROFILE_DIR = None      # jax.profiler trace output dir
 _CN.TPU.INFER_BATCH = 8         # batched inference size for the submission sweep

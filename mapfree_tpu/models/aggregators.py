@@ -291,9 +291,10 @@ def aggregator_out_channels(agg_cfg, volume_channels: int) -> int:
     return n
 
 
-def build_aggregator(agg_cfg, dtype=jnp.float32) -> nn.Module:
+def build_aggregator(agg_cfg, dtype=jnp.float32, fused: bool = True) -> nn.Module:
     if agg_cfg.TYPE == "CorrelationVolumeWarping":
         return CorrelationVolumeWarping(
+            fused=fused,
             position_encoder=bool(agg_cfg.POSITION_ENCODER),
             position_encoder_im1=bool(agg_cfg.POSITION_ENCODER_IM1),
             max_score_channel=bool(agg_cfg.MAX_SCORE_CHANNEL),
@@ -307,6 +308,7 @@ def build_aggregator(agg_cfg, dtype=jnp.float32) -> nn.Module:
         )
     if agg_cfg.TYPE == "CorrelationVolumeWarpingQKV":
         return CorrelationVolumeWarpingQKV(
+            fused=fused,
             position_encoder=bool(agg_cfg.POSITION_ENCODER),
             max_score_channel=bool(agg_cfg.MAX_SCORE_CHANNEL),
             normalise_dot=bool(agg_cfg.NORMALISE_DOT),

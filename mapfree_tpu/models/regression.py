@@ -63,7 +63,8 @@ def build_regression_net(cfg) -> RegressionNet:
     compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     encoder = build_encoder(cfg.ENCODER, dtype=compute_dtype,
                             remat=bool(cfg.TPU.REMAT))
-    aggregator = build_aggregator(cfg.AGGREGATOR, dtype=compute_dtype)
+    aggregator = build_aggregator(cfg.AGGREGATOR, dtype=compute_dtype,
+                                  fused=bool(cfg.TPU.FUSED_CORRELATION))
     head = build_head(cfg, dtype=compute_dtype)
     return RegressionNet(
         encoder=encoder,
