@@ -155,6 +155,37 @@ class TestScanNet:
         assert K.shape == (3, 3) and K[0, 0] == 80.0
 
 
+class TestScanNetEval:
+    def test_evaluate_and_report(self, tmp_path, capsys):
+        """ScanNet eval loop with an oracle model: near-zero medians, full
+        recall, no failures."""
+        from mapfree_tpu.benchmark.scannet import evaluate, report
+
+        make_scannet_scene(tmp_path)
+        c = default_cfg.clone()
+        c.DATASET.DATA_SOURCE = "ScanNet"
+        c.DATASET.DATA_ROOT = str(tmp_path)
+        c.DATASET.NPZ_ROOT = str(tmp_path / "indices")
+        c.DATASET.MIN_OVERLAP_SCORE = 0.0
+        c.DATASET.HEIGHT = H
+        c.DATASET.WIDTH = W
+        ds = ScanNetDataset(c, "test")
+        loader = DataLoader(ds, batch_size=5, num_workers=1)
+
+        class OracleModel:
+            def predict_batch(self, batch):
+                T = np.asarray(batch["T_0to1"])
+                return (T[:, :3, :3], T[:, :3, 3].reshape(-1, 1, 3),
+                        np.zeros(T.shape[0]))
+
+        agg = evaluate(loader, OracleModel())
+        assert np.nanmedian(agg["R_err"]) < 0.1
+        assert np.nanmedian(agg["t_err_euc"]) < 1e-4
+        report(agg)
+        out = capsys.readouterr().out
+        assert "Recall @" in out and "failures" in out
+
+
 class TestSevenScenes:
     def _cfg(self, tmp_path):
         c = default_cfg.clone()
