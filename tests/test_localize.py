@@ -159,6 +159,41 @@ class TestEvalPipelines:
         assert errs[2] < 0.3, errs
         assert pass_rate[-1] >= 80.0
 
+    def test_ess_pair_ransac(self):
+        """EssPair path: rotation candidates (R, R') and sign-ambiguous
+        translation from an essential matrix must be disambiguated by the
+        pose-graph RANSAC."""
+        from mapfree_tpu.benchmark.localize import (
+            EssPair,
+            decompose_essential_matrix,
+            essential_matrix_from_pose,
+        )
+
+        pair_data = {}
+        for qi in range(4):
+            test_abs, rel_pairs = synth_scene(n_refs=6)
+            name = f"q{qi}.png"
+            ess_pairs = []
+            for p in rel_pairs:
+                R_rel = p.rela_pose_pred.r
+                t_rel = p.rela_pose_pred.t
+                E = essential_matrix_from_pose(R_rel, t_rel)
+                t_dec, R1, R2 = decompose_essential_matrix(E)
+                ep = EssPair(name, "train.png", p.train_abs_pose,
+                             p.rela_pose_lbl, t_dec, R1, R2)
+                ep.inliers = 100.0
+                ess_pairs.append(ep)
+            pair_data[name] = {"test_abs_pose": test_abs,
+                               "test_pairs": ess_pairs}
+
+        num_tested, approx, pass_rate, errs = ransac(
+            pair_data, inlier_thres=10, in_iter=10, pair_type="ess",
+            err_thres=((0.25, 5), (1, 20)), loc_results=None)
+        assert num_tested == 4
+        # up-to-scale track: relative rotation must be resolved correctly
+        assert errs[1] < 1.0, errs  # median relative rotation error [deg]
+        assert errs[4] < 2.0, errs  # median absolute rotation error [deg]
+
     def test_empty_query_counts_failure(self):
         results, _ = self._results_dict(n_refs=3)
         results["scene"]["pair_data"]["empty.png"] = {
