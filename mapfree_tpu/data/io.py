@@ -84,6 +84,47 @@ def read_depth_image(path) -> np.ndarray:
     return (depth / 1000.0).astype(np.float32)
 
 
+def get_resized_wh(w, h, resize=None):
+    """Resize the longer edge to ``resize`` keeping aspect ratio
+    (reference lib/datasets/utils.py:20-26)."""
+    if resize is not None:
+        scale = resize / max(h, w)
+        return int(round(w * scale)), int(round(h * scale))
+    return w, h
+
+
+def get_divisible_wh(w, h, df=None):
+    """Floor dims to a multiple of ``df`` (reference utils.py:29-34)."""
+    if df is not None:
+        return int(w // df * df), int(h // df * df)
+    return w, h
+
+
+def pad_bottom_right(inp, pad_size, ret_mask=False):
+    """Pad a [H, W] or [C, H, W] array to a square ``pad_size`` canvas with an
+    optional validity mask (reference utils.py:37-55; the fixed-shape batching
+    precedent for variable-size inputs)."""
+    assert isinstance(pad_size, int) and pad_size >= max(inp.shape[-2:]), (
+        f"{pad_size} < {max(inp.shape[-2:])}"
+    )
+    mask = None
+    if inp.ndim == 2:
+        padded = np.zeros((pad_size, pad_size), dtype=inp.dtype)
+        padded[: inp.shape[0], : inp.shape[1]] = inp
+        if ret_mask:
+            mask = np.zeros((pad_size, pad_size), dtype=bool)
+            mask[: inp.shape[0], : inp.shape[1]] = True
+    elif inp.ndim == 3:
+        padded = np.zeros((inp.shape[0], pad_size, pad_size), dtype=inp.dtype)
+        padded[:, : inp.shape[1], : inp.shape[2]] = inp
+        if ret_mask:
+            mask = np.zeros((inp.shape[0], pad_size, pad_size), dtype=bool)
+            mask[:, : inp.shape[1], : inp.shape[2]] = True
+    else:
+        raise NotImplementedError()
+    return padded, mask
+
+
 def grayscale3(image: np.ndarray) -> np.ndarray:
     """Black & white augmentation keeping 3 channels
     (reference datamodules.py:37-38 Grayscale(num_output_channels=3))."""
