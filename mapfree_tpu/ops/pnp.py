@@ -146,15 +146,19 @@ def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
         R_best, t_best = Rs[best], ts[best]
         inl = m & (res[best] < thr_sq)
 
-        # iterative refinement on inliers (reference refines when >= 6 inliers)
-        w = inl.astype(X.dtype)
-        R_ref, t_ref = _gauss_newton(R_best, t_best, X, x1n, w)
-        refine_ok = jnp.sum(inl) >= 6
-        R_fin = jnp.where(refine_ok, R_ref, R_best)
-        t_fin = jnp.where(refine_ok, t_ref, t_best)
-
-        res_fin = _reproj_residual_sq(R_fin, t_fin, X, x1n)
-        inl_fin = m & (res_fin < thr_sq)
+        # EM-style iterative refinement: GN on the current inlier set, then
+        # re-extract inliers; keep each round only if the inlier count does
+        # not drop (reference refines once with >= 6 inliers)
+        R_fin, t_fin, inl_fin = R_best, t_best, inl
+        for _ in range(2):
+            w = inl_fin.astype(X.dtype)
+            R_ref, t_ref = _gauss_newton(R_fin, t_fin, X, x1n, w)
+            res_ref = _reproj_residual_sq(R_ref, t_ref, X, x1n)
+            inl_ref = m & (res_ref < thr_sq)
+            ok = (jnp.sum(inl_fin) >= 6) & (jnp.sum(inl_ref) >= jnp.sum(inl_fin))
+            R_fin = jnp.where(ok, R_ref, R_fin)
+            t_fin = jnp.where(ok, t_ref, t_fin)
+            inl_fin = jnp.where(ok, inl_ref, inl_fin)
         return R_fin, t_fin, jnp.sum(inl_fin)
 
     R, t, n = jax.vmap(per_pair)(keys, X, x1n, valid, thr_sq)
