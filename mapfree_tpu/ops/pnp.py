@@ -24,16 +24,38 @@ _GN_ITERS = 10
 _SAMPLE_SIZE = 6
 
 
+def _pose_from_P(p, Xh, w):
+    """Orthogonalize a 12-vector projection estimate into (R, t)."""
+    P = p.reshape(3, 4)
+    # fix sign: points must be in front (positive depth on average)
+    depths = Xh @ P[2]
+    sgn = jnp.sign(jnp.sum(jnp.sign(depths) * w))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    P = P * sgn
+    M = P[:, :3]
+    U, S, Vt = jnp.linalg.svd(M)
+    R = U @ Vt
+    R = R * jnp.sign(jnp.linalg.det(R))
+    scale = jnp.sum(S) / 3.0
+    t = P[:, 3] / jnp.maximum(scale, 1e-12)
+    return R, t
+
+
 def _dlt_pose(X, x, w):
     """Weighted DLT for the projection P = [R|t] from 3D-2D correspondences.
+
+    Returns TWO pose candidates: for coplanar 3D points the DLT system has a
+    2-dimensional nullspace (the classic planar pose ambiguity), so both of
+    the two smallest eigenvectors are emitted as hypotheses — RANSAC scoring
+    over all correspondences disambiguates. For well-conditioned samples the
+    second candidate is noise and scores away.
 
     Args:
         X: [M, 3] 3D points (camera-0 frame); x: [M, 2] normalized image
         coords in camera 1; w: [M] weights.
-    Returns R [3,3], t [3].
+    Returns (R [2,3,3], t [2,3]).
     """
-    zeros = jnp.zeros_like(X[:, 0])
-    ones = jnp.ones_like(zeros)
+    ones = jnp.ones_like(X[:, 0])
     Xh = jnp.concatenate([X, ones[:, None]], axis=-1)  # [M, 4]
     u, v = x[:, 0], x[:, 1]
     # two rows per point of A p = 0, p = vec(P) (12)
@@ -45,22 +67,74 @@ def _dlt_pose(X, x, w):
     )
     A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
     _, V = jnp.linalg.eigh(A.T @ A)
-    p = V[:, 0]
-    P = p.reshape(3, 4)
-    M = P[:, :3]
-    # fix sign: points must be in front (positive depth on average)
-    depths = Xh @ P[2]
-    sgn = jnp.sign(jnp.sum(jnp.sign(depths) * w))
-    sgn = jnp.where(sgn == 0, 1.0, sgn)
-    P = P * sgn
-    M = P[:, :3]
-    # orthogonalize M -> R with scale from SVD
-    U, S, Vt = jnp.linalg.svd(M)
-    R = U @ Vt
-    R = R * jnp.sign(jnp.linalg.det(R))
-    scale = jnp.sum(S) / 3.0
-    t = P[:, 3] / jnp.maximum(scale, 1e-12)
-    return R, t
+    R0, t0 = _pose_from_P(V[:, 0], Xh, w)
+    R1, t1 = _pose_from_P(V[:, 1], Xh, w)
+    return jnp.stack([R0, R1]), jnp.stack([t0, t1])
+
+
+_P3P_STARTS = jnp.asarray([
+    [0.25, 0.25, 0.25],
+    [0.5, 0.5, 0.5],
+    [1.0, 1.0, 1.0],
+    [2.0, 2.0, 2.0],
+    [1.0, 1.0, 2.0],
+    [2.0, 1.0, 1.0],
+])
+
+
+def _p3p_poses(X3, x3n):
+    """P3P: poses from 3 3D-2D correspondences (planar-safe minimal solver).
+
+    Solves the Grunert depth system
+        s_i^2 + s_j^2 - 2 s_i s_j cos(angle_ij) = |P_i - P_j|^2
+    with damped Newton from several deterministic starts (branchless; the up
+    to 4 true solutions are covered by start multiplicity and RANSAC sample
+    redundancy), then recovers (R, t) by Kabsch on the 3 camera-frame points.
+
+    Args:
+        X3: [3, 3] 3D points; x3n: [3, 2] normalized image coords.
+    Returns (R [S, 3, 3], t [S, 3], valid [S]) for S starts.
+    """
+    from mapfree_tpu.geom.procrustes import procrustes
+
+    f = jnp.concatenate([x3n, jnp.ones_like(x3n[:, :1])], axis=-1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)  # bearings [3, 3]
+    cos_ab = jnp.asarray([f[1] @ f[2], f[0] @ f[2], f[0] @ f[1]])
+    d_sq = jnp.asarray([
+        jnp.sum((X3[1] - X3[2]) ** 2),
+        jnp.sum((X3[0] - X3[2]) ** 2),
+        jnp.sum((X3[0] - X3[1]) ** 2),
+    ])
+
+    # isoceles-triangle scale estimate for the starts
+    denom = jnp.sqrt(jnp.maximum(2.0 * (1.0 - cos_ab), 1e-9))
+    s_bar = jnp.mean(jnp.sqrt(d_sq) / denom)
+    starts = _P3P_STARTS * s_bar  # [S, 3]
+
+    def residual(s):
+        return jnp.asarray([
+            s[1] ** 2 + s[2] ** 2 - 2 * s[1] * s[2] * cos_ab[0] - d_sq[0],
+            s[0] ** 2 + s[2] ** 2 - 2 * s[0] * s[2] * cos_ab[1] - d_sq[1],
+            s[0] ** 2 + s[1] ** 2 - 2 * s[0] * s[1] * cos_ab[2] - d_sq[2],
+        ])
+
+    def newton(s0):
+        def step(s, _):
+            r = residual(s)
+            J = jax.jacfwd(residual)(s)
+            delta = jnp.linalg.solve(J + 1e-9 * jnp.eye(3), r)
+            s_new = jnp.maximum(s - delta, 1e-6)
+            better = jnp.sum(residual(s_new) ** 2) < jnp.sum(r**2)
+            return jnp.where(better, s_new, s), None
+
+        s, _ = jax.lax.scan(step, s0, None, length=12)
+        ok = jnp.sum(residual(s) ** 2) < 1e-6 * jnp.maximum(jnp.sum(d_sq), 1e-9)
+        return s, ok
+
+    depths, valid = jax.vmap(newton)(starts)  # [S, 3], [S]
+    Z = depths[..., None] * f[None]  # camera-frame points [S, 3, 3]
+    R, t = procrustes(jnp.broadcast_to(X3, Z.shape), Z)  # world -> camera
+    return R, t[:, 0], valid
 
 
 def _reproj_residual_sq(R, t, X, x_norm):
@@ -138,7 +212,22 @@ def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
             return _dlt_pose(X[sample_idx], x1n[sample_idx],
                              m[sample_idx].astype(X.dtype))
 
-        Rs, ts = jax.vmap(solve_one)(idx)
+        Rs, ts = jax.vmap(solve_one)(idx)       # [It, 2, 3, 3], [It, 2, 3]
+        Rs = Rs.reshape(-1, 3, 3)               # both nullspace candidates
+        ts = ts.reshape(-1, 3)
+
+        # P3P hypotheses from the first 3 points of each sample: minimal and
+        # planar-safe (coplanar points degenerate the DLT nullspace)
+        def solve_p3p(sample_idx):
+            R3, t3, ok3 = _p3p_poses(X[sample_idx[:3]], x1n[sample_idx[:3]])
+            # neutralize non-converged starts so they never win scoring
+            R3 = jnp.where(ok3[:, None, None], R3, jnp.eye(3))
+            t3 = jnp.where(ok3[:, None], t3, 1e9)
+            return R3, t3
+
+        R3s, t3s = jax.vmap(solve_p3p)(idx)
+        Rs = jnp.concatenate([Rs, R3s.reshape(-1, 3, 3)])
+        ts = jnp.concatenate([ts, t3s.reshape(-1, 3)])
         res = jax.vmap(lambda R, t: _reproj_residual_sq(R, t, X, x1n))(Rs, ts)
         capped = jnp.where(m, jnp.minimum(res, thr_sq), thr_sq)
         scores = jnp.sum(capped, axis=-1)

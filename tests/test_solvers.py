@@ -195,6 +195,35 @@ class TestPnP:
         assert rot_err_deg(np.asarray(out["R"][0]), R) < 3.0
         assert np.linalg.norm(np.asarray(out["t"][0]) - t) < 0.3
 
+    def test_planar_scene(self):
+        """Coplanar 3D points degenerate the DLT nullspace; the P3P minimal
+        hypotheses must still recover the pose (MapFree scenes are often
+        near-planar facades)."""
+        local = np.random.default_rng(3)
+        R = random_rotation(0.4, gen=local)
+        t = local.normal(size=3) * 0.5
+        n = 150
+        X = np.stack([local.uniform(-2, 2, n), local.uniform(-1.5, 1.5, n),
+                      np.full(n, 5.0)], -1)
+        X1 = X @ R.T + t
+
+        def proj(P):
+            uv = P @ K.T
+            return uv[:, :2] / uv[:, 2:]
+
+        k0 = proj(X)
+        k1 = proj(X1) + local.normal(size=(n, 2)) * 0.3
+        depth0 = self._depth_for(X, k0)
+        out = pnp_pose(
+            jax.random.PRNGKey(3),
+            jnp.asarray(k0[None], jnp.float32), jnp.asarray(k1[None], jnp.float32),
+            jnp.asarray(np.ones((1, n), bool)), jnp.asarray(depth0[None]),
+            jnp.asarray(K[None]), jnp.asarray(K[None]),
+            reproj_threshold=3.0, n_iters=512,
+        )
+        assert rot_err_deg(np.asarray(out["R"][0]), R) < 2.0
+        assert np.linalg.norm(np.asarray(out["t"][0]) - t) < 0.2
+
     def test_no_depth_nan(self):
         k0, k1, mask, R, t, X = synth_pair(seed=10)
         depth0 = np.zeros((IMG_H, IMG_W), np.float32)
