@@ -59,6 +59,58 @@ def _eight_point(x0, x1, w):
     return (U * jnp.asarray([s, s, 0.0])) @ Vt
 
 
+def _homography_4pt(x0, x1, w):
+    """Weighted DLT homography from >= 4 normalized correspondences.
+
+    x1 ~ H x0. Returns H [3, 3]."""
+    u0, v0 = x0[:, 0], x0[:, 1]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    ones = jnp.ones_like(u0)
+    zeros = jnp.zeros_like(u0)
+    row_u = jnp.stack(
+        [u0, v0, ones, zeros, zeros, zeros, -u1 * u0, -u1 * v0, -u1], axis=-1)
+    row_v = jnp.stack(
+        [zeros, zeros, zeros, u0, v0, ones, -v1 * u0, -v1 * v0, -v1], axis=-1)
+    A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    return V[:, 0].reshape(3, 3)
+
+
+def homography_pose_candidates(H):
+    """Faugeras SVD decomposition of a calibrated homography into 4 (R, t)
+    candidates (H = R + t n^T / d family; the planar-scene pose source the
+    8-point solver degenerates on — OpenCV's USAC covers this via DEGENSAC).
+
+    Returns (Rs [4, 3, 3], ts [4, 3] unit-normalised up-to-sign).
+    """
+    U, S, Vt = jnp.linalg.svd(H)
+    d1, d2, d3 = S[0], S[1], S[2]
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+
+    denom = jnp.maximum(d1**2 - d3**2, 1e-12)
+    x1 = jnp.sqrt(jnp.maximum(d1**2 - d2**2, 0.0) / denom)
+    x3 = jnp.sqrt(jnp.maximum(d2**2 - d3**2, 0.0) / denom)
+    d2_safe = jnp.maximum(d2, 1e-12)
+
+    def candidate(e1, e3):
+        sin_t = (d1 - d3) * x1 * x3 * e1 * e3 / d2_safe
+        cos_t = (d1 * x3**2 + d3 * x1**2) / d2_safe
+        Rp = jnp.asarray([
+            [cos_t, 0.0, -sin_t],
+            [0.0, 1.0, 0.0],
+            [sin_t, 0.0, cos_t],
+        ])
+        tp = (d1 - d3) * jnp.asarray([x1 * e1, 0.0, -x3 * e3])
+        R = s * U @ Rp @ Vt
+        t = U @ tp
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        return R, t
+
+    pairs = [(1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)]
+    Rs, ts = zip(*[candidate(e1, e3) for e1, e3 in pairs])
+    return jnp.stack(Rs), jnp.stack(ts)
+
+
 def sampson_sq(E, x0, x1):
     """Squared Sampson distance of the epipolar constraint, [N]."""
     x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)  # [N, 3]
@@ -184,6 +236,61 @@ def cheirality_pose(E, x0, x1, mask, max_depth=1e9):
     return Rs[best], ts[best], counts[best], masks[best]
 
 
+def _h_transfer_sq(H, x0, x1):
+    """Squared symmetric-free transfer distance ||x1 - proj(H x0)||^2, [N]."""
+    x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)
+    y = x0h @ H.T
+    z = jnp.where(jnp.abs(y[:, 2:3]) < 1e-12, 1e-12, y[:, 2:3])
+    proj = y[:, :2] / z
+    return jnp.sum((proj - x1) ** 2, axis=-1)
+
+
+def estimate_homography(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 256):
+    """Fixed-budget 4-point homography RANSAC on normalized coords.
+
+    Used for planar-degeneracy rescue (DEGENSAC role): returns the best H,
+    its inlier mask and count.
+    """
+    thr_sq = thr * thr
+    idx = masked_sample_indices(key, mask, n_iters, 4)
+
+    def solve_one(sample_idx):
+        return _homography_4pt(kpts0_n[sample_idx], kpts1_n[sample_idx],
+                               mask[sample_idx].astype(kpts0_n.dtype))
+
+    Hs = jax.vmap(solve_one)(idx)
+    res = jax.vmap(lambda H: _h_transfer_sq(H, kpts0_n, kpts1_n))(Hs)
+    scores = msac_score(res, mask, thr_sq)
+    best = jnp.argmin(scores)
+    H_best = Hs[best]
+
+    # one inlier refit
+    inl = inlier_mask(res[best], mask, thr_sq)
+    H_ref = _homography_4pt(kpts0_n, kpts1_n, inl.astype(kpts0_n.dtype))
+    res_ref = _h_transfer_sq(H_ref, kpts0_n, kpts1_n)
+    use = msac_score(res_ref, mask, thr_sq) < scores[best]
+    H_fin = jnp.where(use, H_ref, H_best)
+    inl_fin = inlier_mask(jnp.where(use, res_ref, res[best]), mask, thr_sq)
+    return H_fin, inl_fin, jnp.sum(inl_fin)
+
+
+def homography_cheirality_pose(H, x0, x1, mask):
+    """Best (R, t) among the 4 Faugeras candidates of H (and their mirrored
+    translations) by two-view positive-depth count. Sampson scoring cannot
+    separate H-consistent poses on planar scenes; cheirality can."""
+    Rs, ts = homography_pose_candidates(H)
+    Rs = jnp.concatenate([Rs, Rs])
+    ts = jnp.concatenate([ts, -ts])
+
+    def count(R, t):
+        z0, z1 = _two_view_depths(R, t, x0, x1)
+        return jnp.sum(((z0 > 0) & (z1 > 0) & mask).astype(jnp.int32))
+
+    counts = jax.vmap(count)(Rs, ts)
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], counts[best]
+
+
 def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
     """Single-pair 8-point RANSAC with one least-squares refit on inliers.
 
@@ -205,7 +312,7 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
         return _eight_point(x0, x1, w)
 
     Es = jax.vmap(solve_one)(idx)  # [It, 3, 3]
-    residuals = jax.vmap(lambda E: sampson_sq(E, kpts0_n, kpts1_n))(Es)  # [It, N]
+    residuals = jax.vmap(lambda E: sampson_sq(E, kpts0_n, kpts1_n))(Es)
     scores = msac_score(residuals, mask, thr_sq)
 
     # local optimisation on the TOP-K hypotheses (vmapped), not just the best:
@@ -293,8 +400,26 @@ def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
     keys = jax.random.split(key, B)
 
     def per_pair(key, x0, x1, m, thr):
-        E, inl, valid = estimate_essential(key, x0, x1, m, thr, n_iters)
-        R, t, n_cheir, cheir_mask = cheirality_pose(E, x0, x1, inl)
+        k_e, k_h = jax.random.split(key)
+        E, inl_e, valid = estimate_essential(k_e, x0, x1, m, thr, n_iters)
+        R_e, t_e, n_e, _ = cheirality_pose(E, x0, x1, inl_e)
+
+        # planar-degeneracy rescue (DEGENSAC role): when a single homography
+        # explains (almost) all epipolar inliers, every H-consistent E scores
+        # identically and the 8-point estimate is arbitrary; decompose the
+        # robust H instead and pick the candidate by cheirality. Threshold
+        # calibrated on synthetic data: true planes give overlap ratio ~1.0,
+        # curved small-baseline scenes ~0.85.
+        H, inl_h, n_h = estimate_homography(k_h, x0, x1, m, thr,
+                                            n_iters=max(n_iters // 2, 64))
+        R_h, t_h, _ = homography_cheirality_pose(H, x0, x1, inl_h)
+        overlap = jnp.sum(inl_h & inl_e)
+        planar = overlap >= 0.95 * jnp.sum(inl_e)
+
+        R = jnp.where(planar, R_h, R_e)
+        t = jnp.where(planar, t_h, t_e)
+        inl = jnp.where(planar, inl_h, inl_e)
+        n_cheir = jnp.where(planar, n_h, n_e)
         return R, t, n_cheir, inl, valid
 
     R, t, n, inl, valid = jax.vmap(per_pair)(keys, x0, x1, mask, thr)

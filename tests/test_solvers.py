@@ -105,6 +105,34 @@ class TestEssential:
         assert np.median(rot_errs) < 2.0, rot_errs
         assert np.median(t_errs) < 6.0, t_errs
 
+    def test_planar_scene_degensac(self):
+        """All correspondences on one plane: every H-consistent E has zero
+        Sampson error, so the 8-point estimate is arbitrary (the classic
+        H-degeneracy). The homography-rescue path must recover the pose."""
+        local = np.random.default_rng(5)
+        R = random_rotation(0.4, gen=local)
+        t = local.normal(size=3)
+        t = t / np.linalg.norm(t) * 1.0
+        n = 200
+        X = np.stack([local.uniform(-2, 2, n), local.uniform(-1.5, 1.5, n),
+                      np.full(n, 5.0)], -1)
+        X1 = X @ R.T + t
+
+        def proj(P):
+            uv = P @ K.T
+            return uv[:, :2] / uv[:, 2:]
+
+        k0 = proj(X) + local.normal(size=(n, 2)) * 0.3
+        k1 = proj(X1) + local.normal(size=(n, 2)) * 0.3
+        out = essential_pose(
+            jax.random.PRNGKey(5),
+            jnp.asarray(k0[None], jnp.float32), jnp.asarray(k1[None], jnp.float32),
+            jnp.asarray(np.ones((1, n), bool)),
+            jnp.asarray(K[None]), jnp.asarray(K[None]), 2.0, n_iters=512,
+        )
+        assert rot_err_deg(np.asarray(out["R"][0]), R) < 2.0
+        assert t_dir_err_deg(np.asarray(out["t"][0]), t) < 8.0
+
     def test_too_few_points_nan(self):
         k0 = np.zeros((1, 16, 2), np.float32)
         k1 = np.zeros((1, 16, 2), np.float32)
