@@ -1,13 +1,18 @@
 """Multi-reference visual-localization toolkit (7Scenes-style evaluation).
 
-Behavioural equivalent of reference lib/utils/localize.py:14-1020, rebuilt on
-the framework's quaternion library (no transforms3d/scipy-Rotation):
+Capability equivalent of reference lib/utils/localize.py:14-1020, designed
+around vectorised per-query arrays instead of the reference's per-pair Python
+loops, and built on the framework's quaternion library (no
+transforms3d/scipy-Rotation):
 
-- pose wrapper classes (AbsPose / RelaPose / RelaPosePair / EssPair);
+- pose wrapper classes (AbsPose / RelaPose / RelaPosePair / EssPair) — the
+  data contract with benchmark/sevenscenes.py;
 - multi-NN fusion: Weiszfeld geometric median of positions + chordal-L2
   rotation mean (largest eigenvector of the quaternion outer-product sum);
 - pose-graph RANSAC over reference-pair combinations with DLT triangulation,
-  translation-direction inlier test, and local optimisation;
+  a translation-direction inlier test, and local optimisation — the inlier
+  test and model estimation run as single numpy expressions over a
+  :class:`_QueryArrays` view of all pairs of one query;
 - DSAC-style pass rates, AP, per-scene result dumps and PR plots.
 
 Host-side numpy float64 throughout (this is evaluation, not the hot path).
@@ -18,7 +23,6 @@ from __future__ import annotations
 import itertools
 import os
 import time
-import warnings
 
 import numpy as np
 
@@ -29,58 +33,65 @@ from mapfree_tpu.geom.quaternion import mat2quat, quat2mat
 
 
 def cal_vec_angle_error(label, pred, eps=1e-10):
-    """Angle in degrees between vectors; zero-vector cases give 0."""
+    """Angle in degrees between vectors; zero/degenerate cases give 0.
+
+    The dot product is rounded to 4 decimals before arccos — the reference
+    evaluator does this (localize.py:24-25) and the pass-rate numerics depend
+    on it, so it is part of the metric contract."""
     label = np.atleast_2d(label)
     pred = np.atleast_2d(pred)
     v1 = pred / np.linalg.norm(pred, axis=1, keepdims=True)
     v2 = label / np.linalg.norm(label, axis=1, keepdims=True)
-    # rounding to 1e-4 keeps |d| <= 1 (reference localize.py:24-25)
-    d = np.around(np.sum(v1 * v2, axis=1, keepdims=True), decimals=4)
-    d = np.clip(d, -1, 1)
+    d = np.clip(np.around(np.sum(v1 * v2, axis=1, keepdims=True), 4), -1, 1)
     error = np.degrees(np.arccos(d))
-    error[np.isnan(error)] = 0.0
-    return error
+    return np.nan_to_num(error, nan=0.0)
 
 
 def cal_quat_angle_error(label, pred):
+    """Angle in degrees between two (batches of) quaternions, cos variant."""
     label = np.atleast_2d(label)
     pred = np.atleast_2d(pred)
     q1 = pred / np.linalg.norm(pred, axis=1, keepdims=True)
     q2 = label / np.linalg.norm(label, axis=1, keepdims=True)
-    d = np.abs(np.sum(q1 * q2, axis=1, keepdims=True))
-    d = np.clip(d, -1, 1)
+    d = np.clip(np.abs(np.sum(q1 * q2, axis=1, keepdims=True)), -1, 1)
     return 2 * np.degrees(np.arccos(d))
 
 
 # ------------------------------------------------------------- averaging ----
 
 
-def geometric_median(X, eps=1e-5, axis=0):
-    """Weiszfeld's algorithm (reference localize.py:228-254)."""
-    y = np.mean(X, 0)
-    while True:
-        D = np.linalg.norm(X - y, axis=1, keepdims=True)
-        nonzeros = (D != 0)[:, 0]
+def geometric_median(points, eps=1e-5, axis=0, max_iter=1000):
+    """Weiszfeld iteration for the point minimising the sum of Euclidean
+    distances, with Ostresh's modification so iterates that land exactly on
+    an input point do not stall (same estimator as reference
+    localize.py:228-254). Returns shape [1, D]."""
+    points = np.asarray(points, np.float64)
+    y = points.mean(axis=0)
+    for _ in range(max_iter):
+        dist = np.linalg.norm(points - y, axis=1)
+        off = dist > 0
+        n_hits = len(points) - int(off.sum())
+        if n_hits == len(points):  # y coincides with every point
+            break
 
-        Dinv = 1 / D[nonzeros]
-        Dinvs = np.sum(Dinv)
-        W = Dinv / Dinvs
-        T = np.sum(W * X[nonzeros], 0)
+        w = 1.0 / dist[off]
+        w_sum = w.sum()
+        t_step = (w[:, None] * points[off]).sum(axis=0) / w_sum
 
-        num_zeros = len(X) - np.sum(nonzeros)
-        if num_zeros == 0:
-            y1 = T
-        elif num_zeros == len(X):
-            return y.reshape(1, -1)
+        if n_hits == 0:
+            y_next = t_step
         else:
-            R = (T - y) * Dinvs
-            r = np.linalg.norm(R)
-            rinv = 0 if r == 0 else num_zeros / r
-            y1 = max(0, 1 - rinv) * T + min(1, rinv) * y
+            # Ostresh: pull the pure Weiszfeld step back toward y in
+            # proportion to the multiplicity of coincident points
+            r = np.linalg.norm((t_step - y) * w_sum)
+            gamma = 0.0 if r == 0 else min(1.0, n_hits / r)
+            y_next = (1.0 - gamma) * t_step + gamma * y
 
-        if np.linalg.norm(y - y1) < eps:
-            return y1.reshape(1, -1)
-        y = y1
+        if np.linalg.norm(y - y_next) < eps:
+            y = y_next
+            break
+        y = y_next
+    return y.reshape(1, -1)
 
 
 def chordal_l2_mean_rotation(Rs) -> np.ndarray:
@@ -152,21 +163,22 @@ def decompose_essential_matrix(E):
     return t, R1, R2
 
 
+def triangulate_multi_views(correspondence):
+    """DLT triangulation of one 3D point from >= 2 (pixel, P-matrix) views:
+    the null vector of the stacked epipolar constraint rows (reference
+    localize.py:787-806). Rows are built in one vectorised pass."""
+    x = np.stack([np.asarray(xi, np.float64) for xi, _ in correspondence])
+    P = np.stack([np.asarray(pi, np.float64) for _, pi in correspondence])
+    A = np.concatenate(
+        [x[:, 0:1] * P[:, 2] - P[:, 0], x[:, 1:2] * P[:, 2] - P[:, 1]]
+    )  # [2N, 4]
+    _, _, vh = np.linalg.svd(A)
+    X = vh[-1]
+    return X[:3] / X[3]
+
+
 def triangulate_two_views(x1, p1, x2, p2):
     return triangulate_multi_views([(x1, p1), (x2, p2)])
-
-
-def triangulate_multi_views(correspondence):
-    """DLT triangulation of one 3D point from >= 2 views
-    (reference localize.py:787-806)."""
-    rows = []
-    for xi, pi in correspondence:
-        rows.append(xi[0] * pi[2, :] - pi[0, :])
-        rows.append(xi[1] * pi[2, :] - pi[1, :])
-    A = np.stack(rows)
-    _, _, vh = np.linalg.svd(A)
-    X = vh[-1, :]
-    return X[:3] / X[3]
 
 
 # --------------------------------------------------------- pose wrappers ----
@@ -198,8 +210,11 @@ class RelaPose:
 
 
 class RelaPosePair:
-    """One (reference, query) pair for metric relative-pose models
-    (reference localize.py:939-964)."""
+    """One (reference, query) pair for metric relative-pose models.
+
+    Derived fields (same math as reference localize.py:939-964): the absolute
+    query rotation/center implied by this reference, and the homogeneous
+    image-plane point x_te of the query center seen from the reference."""
 
     def __init__(self, test_im, train_abs_pose, rela_pose_lbl, rela_pose_pred, sim):
         self.test_im = test_im
@@ -221,7 +236,7 @@ class RelaPosePair:
 class EssPair:
     """One (reference, query) pair for essential-matrix models: the rotation
     is one of two candidates and the translation sign is undetermined until
-    RANSAC disambiguates (reference localize.py:967-1020)."""
+    RANSAC disambiguates (same contract as reference localize.py:967-1020)."""
 
     def __init__(self, test_im, train_im, train_abs_pose, rela_pose_lbl, t, R0, R1):
         t = np.asarray(t, np.float64).reshape(-1)
@@ -237,15 +252,15 @@ class EssPair:
         self.abs_r_pred = []
         self.abs_q_pred = []
         self.x_te = []
-        for i in range(2):
-            R = self.R[i]
+        for R in self.R:
             x_te = -R.T @ self.t
             if x_te[2] == 0:
                 self.x_te.append(np.array([np.inf, np.inf]))
             else:
                 self.x_te.append(x_te[:2] / x_te[2])
-            self.abs_r_pred.append(R @ self.train_abs_pose.r)
-            self.abs_q_pred.append(mat2quat(self.abs_r_pred[i]))
+            abs_r = R @ self.train_abs_pose.r
+            self.abs_r_pred.append(abs_r)
+            self.abs_q_pred.append(mat2quat(abs_r))
         self.inliers = 0
 
     def set_rid(self, rid):
@@ -261,21 +276,124 @@ class EssPair:
         return np.any(np.isinf(self.x_te))
 
 
+# ----------------------------------------------- vectorised query arrays ----
+
+
+class _QueryArrays:
+    """Array view of one query's (reference, query) pairs.
+
+    Gathers the per-pair fields the RANSAC inner loop touches into [N, ...]
+    arrays once, so the inlier test and model estimation are single numpy
+    expressions instead of per-pair Python loops."""
+
+    def __init__(self, pairs, pair_type):
+        self.pairs = pairs
+        self.ess = pair_type == "ess"
+        self.train_c = np.stack([p.train_abs_pose.c for p in pairs])      # [N,3]
+        self.train_r = np.stack([p.train_abs_pose.r for p in pairs])      # [N,3,3]
+        self.train_p = np.stack([p.train_abs_pose.p for p in pairs])      # [N,3,4]
+        if self.ess:
+            self.q_cand = np.stack([p.abs_q_pred for p in pairs])         # [N,2,4]
+            self.R_cand = np.stack([p.R for p in pairs])                  # [N,2,3,3]
+            self.x_cand = np.stack([p.x_te for p in pairs])               # [N,2,2]
+            self.t_rel = np.stack([p.t for p in pairs])                   # [N,3]
+            self.rid = np.zeros(len(pairs), np.int64)
+        else:
+            self.q_pred = np.stack([p.abs_q_pred for p in pairs])         # [N,4]
+            self.r_rel = np.stack([p.rela_pose_pred.r for p in pairs])    # [N,3,3]
+            self.t_rel = np.stack([p.rela_pose_pred.t for p in pairs])    # [N,3]
+            self.x_te = np.stack([p.x_te for p in pairs])                 # [N,2]
+
+    def select_rotations(self, hypo_q):
+        """For essential pairs: pick, per pair, the rotation candidate closer
+        to the hypothesis rotation; record it on the pair objects."""
+        flat = self.q_cand.reshape(-1, 4)
+        err = cal_quat_angle_error(hypo_q[None], flat).reshape(-1, 2)
+        self.rid = np.argmin(err, axis=1)
+        for p, r in zip(self.pairs, self.rid):
+            p.set_rid(int(r))
+
+    def inlier_mask(self, hypo: AbsPose, thres, update_trans=False):
+        """Translation-direction inlier test against a pose hypothesis,
+        vectorised over all pairs (same decisions as reference
+        localize.py:667-731)."""
+        n = np.arange(len(self.pairs))
+        # direction reference -> hypothesised query position, in ref frame
+        t_est = np.einsum("nij,nj->ni", self.train_r, hypo.c - self.train_c)
+
+        if self.ess:
+            self.select_rotations(hypo.q)
+            R_opt = self.R_cand[n, self.rid]                              # [N,3,3]
+        else:
+            R_opt = self.r_rel
+        t_opt = -np.einsum("nji,nj->ni", R_opt, self.t_rel)               # R^T t
+
+        est_zero = np.linalg.norm(t_est, axis=1) == 0.0
+        opt_zero = np.linalg.norm(t_opt, axis=1) == 0.0
+        # silence the 0/0 normalisations; their rows are overridden below
+        with np.errstate(invalid="ignore", divide="ignore"):
+            err = cal_vec_angle_error(t_est, t_opt).reshape(-1)
+            if self.ess:
+                err_neg = cal_vec_angle_error(t_est, -t_opt).reshape(-1)
+                flip = err_neg < err
+                err = np.where(flip, err_neg, err)
+                if update_trans:
+                    for p, f in zip(self.pairs, flip):
+                        if f:
+                            p.set_opposite_trans_pred()
+        # degenerate pairs are never inliers; a query at the reference's
+        # exact position is always an inlier (reference localize.py:700-704)
+        err = np.where(opt_zero & ~est_zero, np.inf, err)
+        err = np.where(est_zero, 0.0, err)
+        return err < thres
+
+    def estimate(self, inlier_idx) -> AbsPose:
+        """Absolute pose from an inlier set: DLT triangulation of the query
+        position + mean quaternion (reference localize.py:734-756)."""
+        idx = np.asarray(inlier_idx)
+        if self.ess:
+            x = self.x_cand[idx, self.rid[idx]]
+            q = self.q_cand[idx, self.rid[idx]]
+        else:
+            x = self.x_te[idx]
+            q = self.q_pred[idx]
+        P = self.train_p[idx]
+        c = triangulate_multi_views(list(zip(x, P)))
+        return AbsPose(q.mean(axis=0), c)
+
+
+def find_inliers(hypo_abs_pose, test_pair_list, thres, pair_type="ess",
+                 update_trans=False):
+    """Indices of pairs whose predicted translation direction agrees with the
+    hypothesis within ``thres`` degrees."""
+    arrays = _QueryArrays(test_pair_list, pair_type)
+    mask = arrays.inlier_mask(hypo_abs_pose, thres, update_trans=update_trans)
+    return list(np.flatnonzero(mask))
+
+
+def estimate_model(test_pair_list, inliers, pair_type):
+    """Absolute pose from an inlier subset of pairs (object-list API)."""
+    arrays = _QueryArrays(test_pair_list, pair_type)
+    if arrays.ess:
+        arrays.rid = np.array([p.rid for p in test_pair_list])
+    return arrays.estimate(list(inliers))
+
+
 # ------------------------------------------------- direct (no-RANSAC) eval --
 
 
 def cal_rela_pose_err(pair_data):
     """Median relative translation/rotation angle errors over all pairs."""
-    rela_q_err, rela_t_err = [], []
-    for test_im in pair_data:
-        for test_pair in pair_data[test_im]["test_pairs"]:
-            rela_t_err.append(
-                cal_vec_angle_error(test_pair.rela_pose_pred.t, test_pair.rela_pose_lbl.t)
-            )
-            rela_q_err.append(
-                cal_quat_angle_error(test_pair.rela_pose_pred.q, test_pair.rela_pose_lbl.q)
-            )
-    return np.median(rela_t_err), np.median(rela_q_err)
+    t_pred, t_lbl, q_pred, q_lbl = [], [], [], []
+    for entry in pair_data.values():
+        for pair in entry["test_pairs"]:
+            t_pred.append(pair.rela_pose_pred.t)
+            t_lbl.append(pair.rela_pose_lbl.t)
+            q_pred.append(pair.rela_pose_pred.q)
+            q_lbl.append(pair.rela_pose_lbl.q)
+    t_err = cal_vec_angle_error(np.stack(t_lbl), np.stack(t_pred))
+    q_err = cal_quat_angle_error(np.stack(q_lbl), np.stack(q_pred))
+    return np.median(t_err), np.median(q_err)
 
 
 def cal_abs_pose_err_metric(pair_data, err_thres=(2, 5), loc_results=None):
@@ -285,22 +403,18 @@ def cal_abs_pose_err_metric(pair_data, err_thres=(2, 5), loc_results=None):
     abs_c_dist_err, abs_c_ang_err, abs_q_err, inliers = [], [], [], []
     passed = [0] * len(err_thres)
     failures = 0
-    for test_im in pair_data:
-        test_abs_pose = pair_data[test_im]["test_abs_pose"]
-        test_pair_list = pair_data[test_im]["test_pairs"]
+    for test_im, entry in pair_data.items():
+        test_abs_pose = entry["test_abs_pose"]
+        pairs = entry["test_pairs"]
 
-        if len(test_pair_list) == 0:
+        if not pairs:
             failures += 1
             if loc_results is not None:
                 loc_results[test_im] = None
             continue
 
-        abs_q_pred_list = [p.abs_q_pred for p in test_pair_list]
-        train_abs_c = np.vstack([p.train_abs_pose.c for p in test_pair_list])
-        abs_c_pred_list = [p.abs_c_pred for p in test_pair_list]
-        inliers_list = [p.inliers for p in test_pair_list]
-
-        abs_c_pred = geometric_median(np.vstack(abs_c_pred_list), axis=0)
+        train_abs_c = np.stack([p.train_abs_pose.c for p in pairs])
+        abs_c_pred = geometric_median(np.stack([p.abs_c_pred for p in pairs]))
         cerr = np.linalg.norm(test_abs_pose.c - abs_c_pred, axis=1)
         abs_c_dist_err.append(cerr)
         abs_c_ang_err.append(
@@ -310,9 +424,9 @@ def cal_abs_pose_err_metric(pair_data, err_thres=(2, 5), loc_results=None):
                 )
             )
         )
-        inliers.append(inliers_list[0])  # assumes a single keyframe
+        inliers.append(pairs[0].inliers)  # assumes a single keyframe
 
-        abs_r_pred = chordal_l2_mean_rotation([quat2mat(q) for q in abs_q_pred_list])
+        abs_r_pred = chordal_l2_mean_rotation([quat2mat(p.abs_q_pred) for p in pairs])
         abs_q_pred = mat2quat(abs_r_pred)
         qerr = cal_quat_angle_error(test_abs_pose.q, abs_q_pred)
         abs_q_err.append(qerr)
@@ -327,7 +441,7 @@ def cal_abs_pose_err_metric(pair_data, err_thres=(2, 5), loc_results=None):
                 "abs_pose_pred": AbsPose(abs_q_pred.reshape(-1), abs_c_pred.reshape(-1)),
                 "abs_t_err": cerr.item(),
                 "abs_r_err": qerr.item(),
-                "inliers": inliers_list[0],
+                "inliers": pairs[0].inliers,
             }
 
     _, _, average_precision = precision_recall_pose_error(
@@ -402,97 +516,49 @@ def eval_pipeline_without_ransac(result_dict, err_thres=(2, 5), log=None,
 # ------------------------------------------------------------ RANSAC eval ---
 
 
-def find_inliers(hypo_abs_pose, test_pair_list, thres, pair_type="ess",
-                 update_trans=False):
-    """Inlier test: translation-direction angle between the hypothesis and
-    each pair's prediction (reference localize.py:667-731)."""
-    inliers = []
-    for i, test_pair in enumerate(test_pair_list):
-        train_abs_pose = test_pair.train_abs_pose
-        rela_t_est = train_abs_pose.r @ (hypo_abs_pose.c - train_abs_pose.c)
-
-        if pair_type == "ess":
-            err0 = cal_quat_angle_error(hypo_abs_pose.q, test_pair.abs_q_pred[0])
-            err1 = cal_quat_angle_error(hypo_abs_pose.q, test_pair.abs_q_pred[1])
-            rid = int(np.argmin([err0, err1]))
-            test_pair.set_rid(rid)
-            rela_r_opt = test_pair.R[rid]
-            rela_t_opt = test_pair.t
-        else:  # relapose
-            rela_r_opt = test_pair.rela_pose_pred.r
-            rela_t_opt = test_pair.rela_pose_pred.t
-        t_est = rela_t_est
-        t_opt = -rela_r_opt.T @ rela_t_opt  # direction query -> reference
-
-        err = np.inf
-        with warnings.catch_warnings():
-            warnings.filterwarnings("error", category=RuntimeWarning)
-            try:
-                if np.linalg.norm(t_est) == 0.0:
-                    err = 0.0  # same position as reference
-                else:
-                    err = cal_vec_angle_error(t_est, t_opt)
-                    if pair_type == "ess":
-                        err_ = cal_vec_angle_error(t_est, -t_opt)
-                        if err_ < err:
-                            err = err_
-                            if update_trans:
-                                test_pair.set_opposite_trans_pred()
-            except Warning:
-                print("Warning caught during find inlier calculation")
-                print(f"Test im {test_pair.test_im}")
-
-        if err < thres:
-            inliers.append(i)
-    return inliers
-
-
-def estimate_model(test_pair_list, inliers, pair_type):
-    """Absolute pose from an inlier set: DLT triangulation of the query
-    position + mean quaternion (reference localize.py:734-756)."""
-    abs_q_pred_list = []
-    correspondence = []
-    for i in inliers:
-        test_pair = test_pair_list[i]
-        if pair_type == "ess":
-            rid = test_pair.rid
-            correspondence.append((test_pair.x_te[rid], test_pair.train_abs_pose.p))
-            abs_q_pred_list.append(test_pair.abs_q_pred[rid])
-        else:
-            correspondence.append((test_pair.x_te, test_pair.train_abs_pose.p))
-            abs_q_pred_list.append(test_pair.abs_q_pred)
-    abs_c_pred = triangulate_multi_views(correspondence)
-    abs_q_pred = np.mean(np.vstack(abs_q_pred_list), axis=0)
-    return AbsPose(abs_q_pred, abs_c_pred)
-
-
 def local_optimisation(test_pair_list, abs_pose_best, thres_multiplier, thres,
                        in_iter, pair_type):
-    """(reference localize.py:638-664)"""
-    inlier_mult = find_inliers(abs_pose_best, test_pair_list,
-                               thres_multiplier * thres, pair_type=pair_type)
-    abs_pose_mult = estimate_model(test_pair_list, inlier_mult, pair_type)
-    inlier_base = find_inliers(abs_pose_mult, test_pair_list, thres,
-                               pair_type=pair_type)
+    """Refine a promising hypothesis: re-collect inliers at a widened
+    threshold, re-estimate, then try ``in_iter`` random inlier subsamples and
+    keep whichever candidate pose gathers the most base-threshold inliers
+    (reference localize.py:638-664)."""
+    arrays = _QueryArrays(test_pair_list, pair_type)
 
-    inlier_base_sample = list(inlier_base)
-    all_abs_poses = [abs_pose_best, abs_pose_mult]
-    num_inlier_subsample = min(14, int(len(inlier_base) / 2))
-    if num_inlier_subsample > 2:
+    wide = np.flatnonzero(
+        arrays.inlier_mask(abs_pose_best, thres_multiplier * thres))
+    pose_wide = arrays.estimate(wide)
+    base = list(np.flatnonzero(arrays.inlier_mask(pose_wide, thres)))
+
+    candidates = [abs_pose_best, pose_wide]
+    n_sub = min(14, len(base) // 2)
+    if n_sub > 2:
+        pool = list(base)
         for _ in range(in_iter):
-            np.random.shuffle(inlier_base_sample)
-            inlier_subsample = inlier_base_sample[:num_inlier_subsample]
-            all_abs_poses.append(
-                estimate_model(test_pair_list, inlier_subsample, pair_type))
+            np.random.shuffle(pool)
+            candidates.append(arrays.estimate(pool[:n_sub]))
 
-    inlier_local_best = []
-    pose_local_best = None
-    for abs_pose in all_abs_poses:
-        inlier_ = find_inliers(abs_pose, test_pair_list, thres, pair_type=pair_type)
-        if len(inlier_) > len(inlier_local_best):
-            inlier_local_best = inlier_
-            pose_local_best = abs_pose
-    return inlier_local_best, pose_local_best
+    best_inliers, best_pose = [], None
+    for pose in candidates:
+        found = list(np.flatnonzero(arrays.inlier_mask(pose, thres)))
+        if len(found) > len(best_inliers):
+            best_inliers, best_pose = found, pose
+    return best_inliers, best_pose
+
+
+def _ess_two_view_hypothesis(pair0, pair1):
+    """Minimal hypothesis from two essential pairs: pick the rotation
+    candidates that agree best, average them, triangulate the position."""
+    errs = np.array([
+        [cal_quat_angle_error(pair0.abs_q_pred[i], pair1.abs_q_pred[j]).item()
+         for j in range(2)]
+        for i in range(2)
+    ])
+    id0, id1 = np.unravel_index(np.argmin(errs), errs.shape)
+    q = np.mean([pair0.abs_q_pred[id0], pair1.abs_q_pred[id1]], axis=0)
+    c = triangulate_two_views(
+        pair0.x_te[id0], pair0.train_abs_pose.p,
+        pair1.x_te[id1], pair1.train_abs_pose.p)
+    return AbsPose(q, c)
 
 
 def ransac(pair_data, inlier_thres, thres_multiplier=1.414, in_iter=10,
@@ -504,9 +570,9 @@ def ransac(pair_data, inlier_thres, thres_multiplier=1.414, in_iter=10,
     rela_t_err, rela_q_err = [], []
     passed = [0 for _ in err_thres]
     approx_queries = []
-    for test_im in pair_data:
-        test_abs_pose = pair_data[test_im]["test_abs_pose"]
-        test_pair_list = pair_data[test_im]["test_pairs"]
+    for test_im, entry in pair_data.items():
+        test_abs_pose = entry["test_abs_pose"]
+        test_pair_list = entry["test_pairs"]
         num_pair = len(test_pair_list)
 
         if num_pair == 0:
@@ -520,33 +586,18 @@ def ransac(pair_data, inlier_thres, thres_multiplier=1.414, in_iter=10,
             if loc_results is not None:
                 loc_results[test_im] = None
         else:
+            arrays = _QueryArrays(test_pair_list, pair_type)
             inlier_best = []
             abs_pose_best = None
             approximated = False
-            for inlier_min in itertools.combinations(range(num_pair), 2):
-                if pair_type == "ess":
-                    pair0 = test_pair_list[inlier_min[0]]
-                    pair1 = test_pair_list[inlier_min[1]]
-                    # choose the rotation combination with smallest angle gap
-                    err_min, id0, id1 = 1000, -1, -1
-                    for i in range(2):
-                        for j in range(2):
-                            err = cal_quat_angle_error(
-                                pair0.abs_q_pred[i], pair1.abs_q_pred[j])
-                            if err < err_min:
-                                err_min, id0, id1 = err, i, j
-                    abs_q_hypo = np.mean(
-                        np.vstack([pair0.abs_q_pred[id0], pair1.abs_q_pred[id1]]),
-                        axis=0)
-                    abs_c_hypo = triangulate_two_views(
-                        pair0.x_te[id0], pair0.train_abs_pose.p,
-                        pair1.x_te[id1], pair1.train_abs_pose.p)
-                    abs_pose_hypo = AbsPose(abs_q_hypo, abs_c_hypo)
+            for i0, i1 in itertools.combinations(range(num_pair), 2):
+                if arrays.ess:
+                    abs_pose_hypo = _ess_two_view_hypothesis(
+                        test_pair_list[i0], test_pair_list[i1])
                 else:
-                    abs_pose_hypo = estimate_model(test_pair_list, inlier_min,
-                                                   pair_type)
-                inlier_hypo = find_inliers(abs_pose_hypo, test_pair_list,
-                                           inlier_thres, pair_type=pair_type)
+                    abs_pose_hypo = arrays.estimate([i0, i1])
+                inlier_hypo = list(np.flatnonzero(
+                    arrays.inlier_mask(abs_pose_hypo, inlier_thres)))
 
                 if len(inlier_hypo) >= 2 and len(inlier_hypo) > len(inlier_best):
                     inlier_best = inlier_hypo
@@ -560,53 +611,43 @@ def ransac(pair_data, inlier_thres, thres_multiplier=1.414, in_iter=10,
 
             if abs_pose_best is None or len(inlier_best) == 0:
                 # fall back to the first reference's pose
-                pair = test_pair_list[0]
-                abs_pose_best = pair.train_abs_pose
+                abs_pose_best = test_pair_list[0].train_abs_pose
                 inlier_best = [0]
                 approx_queries.append(test_im)
                 approximated = True
 
-            if pair_type == "ess":
-                find_inliers(abs_pose_best, test_pair_list, inlier_thres,
-                             pair_type=pair_type, update_trans=True)
+            if arrays.ess:
+                # final pass fixes each pair's rotation id and translation sign
+                arrays.inlier_mask(abs_pose_best, inlier_thres, update_trans=True)
 
-            train_abs_c_list = []
             t_err, q_err = [], []
             cumulative_correspondences_inliers = 0
             for i in inlier_best:
-                test_pair = test_pair_list[i]
-                train_abs_c_list.append(test_pair.train_abs_pose.c)
-                if pair_type == "ess":
-                    t_err.append(cal_vec_angle_error(test_pair.t,
-                                                     test_pair.rela_pose_lbl.t))
-                    q_err.append(cal_quat_angle_error(test_pair.get_rela_q(),
-                                                      test_pair.rela_pose_lbl.q))
+                pair = test_pair_list[i]
+                if arrays.ess:
+                    t_err.append(cal_vec_angle_error(pair.t, pair.rela_pose_lbl.t))
+                    q_err.append(cal_quat_angle_error(pair.get_rela_q(),
+                                                      pair.rela_pose_lbl.q))
                 else:
-                    t_err.append(cal_vec_angle_error(test_pair.rela_pose_pred.t,
-                                                     test_pair.rela_pose_lbl.t))
-                    q_err.append(cal_quat_angle_error(test_pair.rela_pose_pred.q,
-                                                      test_pair.rela_pose_lbl.q))
-                cumulative_correspondences_inliers += test_pair.inliers
+                    t_err.append(cal_vec_angle_error(pair.rela_pose_pred.t,
+                                                     pair.rela_pose_lbl.t))
+                    q_err.append(cal_quat_angle_error(pair.rela_pose_pred.q,
+                                                      pair.rela_pose_lbl.q))
+                cumulative_correspondences_inliers += pair.inliers
             rela_t_err.append(np.mean(t_err))
             rela_q_err.append(np.mean(q_err))
 
-            train_abs_c = (np.vstack(train_abs_c_list)
-                           if len(train_abs_c_list) > 1 else train_abs_c_list[0])
+            train_abs_c = arrays.train_c[inlier_best]
             cerr = np.linalg.norm(test_abs_pose.c - abs_pose_best.c)
             abs_c_dist_err.append(cerr)
 
-            with warnings.catch_warnings():
-                warnings.filterwarnings("error", category=RuntimeWarning)
-                try:
-                    if approximated:
-                        abs_c_ang_err.append(0.0)
-                    else:
-                        abs_c_ang_err.append(np.mean(cal_vec_angle_error(
-                            test_abs_pose.c - train_abs_c,
-                            abs_pose_best.c - train_abs_c)))
-                except Warning:
-                    print("Warning caught during abs angle error calculation")
-                    print(f"Test im {test_im}, num_pair {len(test_pair_list)}")
+            if approximated:
+                abs_c_ang_err.append(0.0)
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    abs_c_ang_err.append(np.mean(cal_vec_angle_error(
+                        test_abs_pose.c - train_abs_c,
+                        abs_pose_best.c - train_abs_c)))
 
             qerr = cal_quat_angle_error(test_abs_pose.q, abs_pose_best.q).squeeze()
             abs_q_err.append(qerr)
@@ -649,7 +690,6 @@ def eval_pipeline_with_ransac(result_dict, log, ransac_thres, ransac_iter,
         print(f"\n>>Ransac threshold:{thres}")
         loc_results_dict = {}
         for dataset in result_dict:
-            start_time = time.time()
             pair_data = result_dict[dataset]["pair_data"]
             loc_results_dict[dataset] = {} if save_res_path else None
             pt = "relapose" if pair_type == "angess" else pair_type

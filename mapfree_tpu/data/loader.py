@@ -78,10 +78,21 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        # batch-level native JPEG decode when the dataset speaks the protocol
+        # and the C++ decoder is built (one GIL-released call per batch beats
+        # per-image cv2 across GIL-bound threads); else per-item thread pool
+        from mapfree_tpu.data.io import HAS_NATIVE_DECODER
+
+        getitems = getattr(self.dataset, "getitems", None)
+        use_batch_io = HAS_NATIVE_DECODER and getitems is not None
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
                 for b in batches:
-                    samples = list(ex.map(self.dataset.__getitem__, b))
+                    if use_batch_io:
+                        samples = getitems(b)
+                    else:
+                        samples = list(ex.map(self.dataset.__getitem__, b))
                     q.put(collate(samples))
             q.put(sentinel)
 

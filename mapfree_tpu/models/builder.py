@@ -58,7 +58,9 @@ class RegressionPredictor:
 
         def _forward(image0, image1):
             R, t, _ = self.net.apply(self.variables, image0, image1, train=False)
-            return R, t
+            # pack into one [B, 4, 3] output: a single D2H fetch per batch
+            # (each fetch pays a full round trip on remote-TPU links)
+            return jnp.concatenate([R, t.reshape(-1, 1, 3)], axis=1)
 
         if self.mesh is None:
             self._predict = jax.jit(_forward)
@@ -67,23 +69,39 @@ class RegressionPredictor:
             self._predict = jax.jit(
                 _forward,
                 in_shardings=(sharded, sharded),
-                out_shardings=(sharded, sharded),
+                out_shardings=sharded,
             )
 
-    def predict_batch(self, batch):
-        image0 = np.asarray(batch["image0"], np.float32)
-        image1 = np.asarray(batch["image1"], np.float32)
+    def predict_batch_async(self, batch):
+        """Dispatch one batch; returns finalize() -> (R, t, inliers) numpy.
+
+        The device work (H2D, forward) proceeds in the background, so a
+        caller holding a small queue of finalizers overlaps transfer/compute
+        of batch i+1 with host processing of batch i."""
+        image0 = np.asarray(batch["image0"])
+        image1 = np.asarray(batch["image1"])
+        if image0.dtype != np.uint8:  # uint8 ships as-is (4x fewer bytes)
+            image0 = image0.astype(np.float32, copy=False)
+            image1 = image1.astype(np.float32, copy=False)
         B = image0.shape[0]
         if B < self.batch_size:  # pad the final partial batch
             pad = self.batch_size - B
-            image0 = np.concatenate([image0, np.zeros((pad,) + image0.shape[1:],
-                                                      np.float32)])
-            image1 = np.concatenate([image1, np.zeros((pad,) + image1.shape[1:],
-                                                      np.float32)])
-        R, t = self._predict(jnp.asarray(image0), jnp.asarray(image1))
-        R = np.asarray(R)[:B]
-        t = np.asarray(t)[:B].reshape(B, 1, 3)
-        return R, t, np.zeros((B,), np.float32)
+            image0 = np.concatenate(
+                [image0, np.zeros((pad,) + image0.shape[1:], image0.dtype)])
+            image1 = np.concatenate(
+                [image1, np.zeros((pad,) + image1.shape[1:], image1.dtype)])
+        out = self._predict(jnp.asarray(image0), jnp.asarray(image1))
+
+        def finalize():
+            host = np.asarray(out)[:B]
+            R = host[:, :3]
+            t = host[:, 3:].reshape(B, 1, 3)
+            return R, t, np.zeros((B,), np.float32)
+
+        return finalize
+
+    def predict_batch(self, batch):
+        return self.predict_batch_async(batch)()
 
 
 class MatchingPredictor:

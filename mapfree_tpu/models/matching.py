@@ -99,7 +99,10 @@ class SIFTMatching:
         return np.sqrt(descs)
 
     def _detect(self, image_nhwc):
-        img = (image_nhwc * 255).astype(np.uint8)
+        if image_nhwc.dtype == np.uint8:
+            img = np.asarray(image_nhwc)
+        else:
+            img = (image_nhwc * 255).astype(np.uint8)
         gray = self._cv2.cvtColor(img, self._cv2.COLOR_RGB2GRAY)
         kp, des = self.sift.detectAndCompute(gray, None)
         if des is None or len(kp) == 0:
@@ -151,8 +154,11 @@ class TPUSIFTMatching:
         from mapfree_tpu.ops.sift import root_sift, sift_detect_describe
 
         gray_w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
-        img0 = jnp.asarray(batch["image0"]) @ gray_w
-        img1 = jnp.asarray(batch["image1"]) @ gray_w
+        img0 = jnp.asarray(batch["image0"])
+        img1 = jnp.asarray(batch["image1"])
+        scale = 1.0 / 255.0 if img0.dtype == jnp.uint8 else 1.0
+        img0 = img0.astype(jnp.float32) * scale @ gray_w
+        img1 = img1.astype(jnp.float32) * scale @ gray_w
         out0 = sift_detect_describe(img0, num_features=self.num_features)
         out1 = sift_detect_describe(img1, num_features=self.num_features)
 

@@ -39,8 +39,11 @@ class RegressionNet(nn.Module):
         if self.multi_frame:
             image1 = image1[:, -1]
 
-        image0 = image0.astype(self.compute_dtype)
-        image1 = image1.astype(self.compute_dtype)
+        # images may arrive as raw uint8 (4x cheaper host->device transfer;
+        # the loader ships decoded JPEG bytes) — normalise on device
+        scale = 1.0 / 255.0 if image0.dtype == jnp.uint8 else 1.0
+        image0 = image0.astype(self.compute_dtype) * scale
+        image1 = image1.astype(self.compute_dtype) * scale
 
         # shared-weight two-view encoding in one batched dispatch: stacking
         # the views doubles the conv batch (better MXU utilisation) instead of

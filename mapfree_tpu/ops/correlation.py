@@ -36,35 +36,59 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, hw: int):
-    """One (batch, row-block) program.
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, hw: int, col_chunk: int,
+            n_chunks: int):
+    """One (batch, row-block) program, online softmax over column chunks.
 
     q_ref: [1, rM, Cq] query rows; k_ref: [1, HWp, Cq] all keys;
     v_ref: [1, HWp, Cv] values (features | uv grid);
     out_ref: [1, rM, Cv + 1] -> [warped+position | max-score].
+
+    The [rM, HWp] score slab is the kernel's VMEM hog (Mosaic stack-allocates
+    temporaries against a 16 MB scoped limit); chunking the key axis with a
+    running (max, denom, accumulator) keeps the slab at [rM, col_chunk]
+    regardless of HW — flash-attention-style, exact to fp rounding.
     """
     q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [rM, HWp]
-    # mask padded columns
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    s = jnp.where(col < hw, s, _NEG_INF)
+    rm = q.shape[0]
+    cv = v_ref.shape[-1]
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
+    def chunk(c, carry):
+        m, d, acc = carry
+        k_c = k_ref[0, pl.ds(c * col_chunk, col_chunk), :]
+        v_c = v_ref[0, pl.ds(c * col_chunk, col_chunk), :]
+        s = jax.lax.dot_general(
+            q, k_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rM, col_chunk]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * col_chunk
+        s = jnp.where(col < hw, s, _NEG_INF)
 
-    contracted = jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [rM, Cv]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        d = d * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_c.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, d, acc
+
+    init = (
+        jnp.full((rm, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((rm, 1), jnp.float32),
+        jnp.zeros((rm, cv), jnp.float32),
+    )
+    if n_chunks == 1:
+        _, denom, acc = chunk(0, init)
+    else:
+        _, denom, acc = jax.lax.fori_loop(0, n_chunks, chunk, init)
+
     inv_d = 1.0 / denom
-    out_ref[0, :, :-1] = contracted * inv_d
-    out_ref[0, :, -1:] = inv_d  # peak softmax probability of each row
+    out_ref[0, :, :-1] = acc * inv_d
+    # peak softmax probability: exp(s_max - m_final) / d == 1 / d
+    out_ref[0, :, -1:] = inv_d
 
 
 def _bwd_rows_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref,
@@ -179,7 +203,17 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
     rM = row_block
-    HWp = _round_up(HW, rM)
+    # single column chunk (no fori_loop) while the [rM, chunk] f32 score slab
+    # fits a ~3 MB budget (×2: Mosaic keeps both s and exp(s)); larger HW
+    # streams the key axis in 2048-column chunks
+    slab_budget = 3 * 1024 * 1024
+    if _round_up(HW, rM) * rM * 4 <= slab_budget:
+        HWp = _round_up(HW, rM)
+        col_chunk, n_chunks = HWp, 1
+    else:
+        col_chunk = 2048
+        HWp = _round_up(HW, max(rM, col_chunk))
+        n_chunks = HWp // col_chunk
 
     pad_rows = HWp - HW
     qp = jnp.pad(q, ((0, 0), (0, pad_rows), (0, 0)))
@@ -192,7 +226,7 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
                          axis=-1)  # [B, HWp, Cv + 2]
 
     out = pl.pallas_call(
-        partial(_kernel, hw=HW),
+        partial(_kernel, hw=HW, col_chunk=col_chunk, n_chunks=n_chunks),
         grid=(B, HWp // rM),
         in_specs=[
             pl.BlockSpec((1, rM, Cq), lambda b, i: (b, i, 0),

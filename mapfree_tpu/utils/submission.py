@@ -37,21 +37,28 @@ class Pose:
 
 
 def predict(loader, model):
-    """Run the model over a loader; returns dict scene -> [Pose]."""
+    """Run the model over a loader; returns dict scene -> [Pose].
+
+    When the model exposes ``predict_batch_async`` (the jitted regression
+    path), up to PIPELINE_DEPTH batches are kept in flight so host decode,
+    H2D transfer, device compute and pose extraction overlap — the sweep
+    runs at the speed of the slowest stage instead of their sum."""
     results_dict = defaultdict(list)
-    for batch in loader:
-        R, t, inliers = model.predict_batch(batch)
-        B = R.shape[0]
-        for i in range(B):
+    dispatch = getattr(model, "predict_batch_async", None)
+    depth = 3
+
+    def consume(meta, fetch):
+        scene_ids, pair_names = meta
+        R, t, inliers = fetch()
+        for i in range(R.shape[0]):
             Ri = np.asarray(R[i], np.float64)
             ti = np.asarray(t[i], np.float64).reshape(-1)
             if np.isnan(Ri).any() or np.isnan(ti).any() or np.isinf(ti).any():
                 continue  # no estimate for this frame -> failure downstream
-            scene = batch["scene_id"][i]
-            query_img = batch["pair_names"][i][1]
+            query_img = pair_names[i][1]
             if isinstance(query_img, (tuple, list)):
                 query_img = query_img[-1]  # multi-frame: the query frame
-            results_dict[scene].append(
+            results_dict[scene_ids[i]].append(
                 Pose(
                     image_name=query_img,
                     q=mat2quat(Ri).reshape(-1),
@@ -59,6 +66,19 @@ def predict(loader, model):
                     inliers=float(np.asarray(inliers[i])),
                 )
             )
+
+    pending = []
+    for batch in loader:
+        meta = (batch["scene_id"], batch["pair_names"])
+        if dispatch is None:
+            R, t, inliers = model.predict_batch(batch)
+            consume(meta, lambda r=(R, t, inliers): r)
+            continue
+        pending.append((meta, dispatch(batch)))
+        if len(pending) > depth:
+            consume(*pending.pop(0))
+    for item in pending:
+        consume(*item)
     return results_dict
 
 

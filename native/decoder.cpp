@@ -21,12 +21,14 @@
 
 #include <jpeglib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
 #include <string>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -42,10 +44,27 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG file to RGB8. Returns false on any failure.
+// When the target dims (dw, dh) correspond EXACTLY to a libjpeg M/8 scale of
+// the source, the IDCT is run at that reduced scale (e.g. 540x720 -> 270x360
+// decodes at 4/8 scale, ~4x less IDCT work) — the downstream resize then hits
+// its identity fast path. Inexact ratios decode at full resolution so the
+// bilinear resize stays cv2-compatible.
 bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
-                 int& width, int& height) {
+                 int& width, int& height, int dw, int dh,
+                 std::vector<unsigned char>& filebuf) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  const long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (fsize <= 0) {
+    fclose(f);
+    return false;
+  }
+  filebuf.resize(static_cast<size_t>(fsize));
+  const size_t got = fread(filebuf.data(), 1, filebuf.size(), f);
+  fclose(f);
+  if (got != filebuf.size()) return false;
 
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -53,14 +72,27 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
 
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, filebuf.data(), filebuf.size());
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+
+  if (dw > 0 && dh > 0) {
+    const long W = cinfo.image_width, H = cinfo.image_height;
+    for (int num = 1; num <= 8; ++num) {
+      const long ow = (W * num + 7) / 8, oh = (H * num + 7) / 8;
+      if (ow == dw && oh == dh) {
+        cinfo.scale_num = num;
+        cinfo.scale_denom = 8;
+        break;
+      }
+      if (ow >= dw && oh >= dh) break;  // smaller scales only shrink further
+    }
+  }
+
   jpeg_start_decompress(&cinfo);
 
   width = static_cast<int>(cinfo.output_width);
@@ -68,23 +100,42 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
   const int stride = width * 3;
   rgb.resize(static_cast<size_t>(stride) * height);
 
+  std::vector<unsigned char*> rows(cinfo.rec_outbuf_height);
   while (cinfo.output_scanline < cinfo.output_height) {
-    unsigned char* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * stride;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    const JDIMENSION base = cinfo.output_scanline;
+    const int avail =
+        std::min<int>(cinfo.rec_outbuf_height, cinfo.output_height - base);
+    for (int r = 0; r < avail; ++r) {
+      rows[r] = rgb.data() + static_cast<size_t>(base + r) * stride;
+    }
+    jpeg_read_scanlines(&cinfo, rows.data(), avail);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
   return true;
 }
 
-// Bilinear resize RGB8 -> float32 [0,1] NHWC slice (OpenCV-compatible
-// half-pixel center convention, matching cv2.resize INTER_LINEAR).
-// Column offsets/weights are precomputed once per image; the two source rows
-// are first horizontally resampled into float scanlines, then blended
-// vertically — O(dw) coefficient work per row instead of per pixel.
-void resize_normalize(const unsigned char* src, int sw, int sh, float* dst,
+// Bilinear resize RGB8 -> float32 [0,1] or uint8 NHWC slice
+// (OpenCV-compatible half-pixel center convention, matching cv2.resize
+// INTER_LINEAR). Column offsets/weights are precomputed once per image; the
+// two source rows are first horizontally resampled into float scanlines,
+// then blended vertically — O(dw) coefficient work per row instead of per
+// pixel.
+template <typename T>
+void resize_normalize(const unsigned char* src, int sw, int sh, T* dst,
                       int dw, int dh) {
+  constexpr bool kFloatOut = std::is_same<T, float>::value;
+  if (sw == dw && sh == dh) {
+    // identity resize (the MapFree val case: images stored at target res)
+    const size_t n = static_cast<size_t>(dw) * dh * 3;
+    if (kFloatOut) {
+      const float inv = 1.0f / 255.0f;
+      for (size_t i = 0; i < n; ++i) dst[i] = static_cast<T>(src[i] * inv);
+    } else {
+      std::memcpy(dst, src, n);
+    }
+    return;
+  }
   const float sx = static_cast<float>(sw) / dw;
   const float sy = static_cast<float>(sh) / dh;
 
@@ -132,10 +183,17 @@ void resize_normalize(const unsigned char* src, int sw, int sh, float* dst,
     }
     cached_y0 = y0;
 
-    float* out = dst + static_cast<size_t>(y) * dw * 3;
+    T* out = dst + static_cast<size_t>(y) * dw * 3;
     const int n3 = dw * 3;
-    for (int i = 0; i < n3; ++i) {
-      out[i] = (row_top[i] * iwy + row_bot[i] * wy) * inv255;
+    if (kFloatOut) {
+      for (int i = 0; i < n3; ++i) {
+        out[i] = static_cast<T>((row_top[i] * iwy + row_bot[i] * wy) * inv255);
+      }
+    } else {
+      for (int i = 0; i < n3; ++i) {
+        out[i] =
+            static_cast<T>(row_top[i] * iwy + row_bot[i] * wy + 0.5f);
+      }
     }
   }
 }
@@ -147,11 +205,13 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
   PyObject* paths_obj;
   int width, height;
   int num_threads = 0;
+  int uint8_out = 0;
   static const char* kwlist[] = {"paths", "width", "height", "num_threads",
-                                 nullptr};
-  if (!PyArg_ParseTupleAndKeywords(args, kwargs, "Oii|i",
+                                 "uint8", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(args, kwargs, "Oii|ip",
                                    const_cast<char**>(kwlist), &paths_obj,
-                                   &width, &height, &num_threads)) {
+                                   &width, &height, &num_threads,
+                                   &uint8_out)) {
     return nullptr;
   }
 
@@ -176,11 +236,12 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
   Py_DECREF(seq);
 
   npy_intp dims[4] = {n, height, width, 3};
-  PyArrayObject* arr =
-      reinterpret_cast<PyArrayObject*>(PyArray_SimpleNew(4, dims, NPY_FLOAT32));
+  PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
+      PyArray_SimpleNew(4, dims, uint8_out ? NPY_UINT8 : NPY_FLOAT32));
   if (!arr) return nullptr;
-  float* data = static_cast<float*>(PyArray_DATA(arr));
+  void* data = PyArray_DATA(arr);
   const size_t img_elems = static_cast<size_t>(height) * width * 3;
+  const size_t elem_size = uint8_out ? 1 : sizeof(float);
 
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
@@ -194,15 +255,25 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
   Py_BEGIN_ALLOW_THREADS
   auto worker = [&]() {
     std::vector<unsigned char> rgb;
+    std::vector<unsigned char> filebuf;
     while (true) {
       const long i = next.fetch_add(1);
       if (i >= n) break;
       int sw = 0, sh = 0;
-      if (decode_jpeg(paths[i], rgb, sw, sh) && sw >= 2 && sh >= 2) {
-        resize_normalize(rgb.data(), sw, sh, data + img_elems * i, width,
-                         height);
+      if (decode_jpeg(paths[i], rgb, sw, sh, width, height, filebuf) &&
+          sw >= 2 && sh >= 2) {
+        if (uint8_out) {
+          resize_normalize(rgb.data(), sw, sh,
+                           static_cast<unsigned char*>(data) + img_elems * i,
+                           width, height);
+        } else {
+          resize_normalize(rgb.data(), sw, sh,
+                           static_cast<float*>(data) + img_elems * i, width,
+                           height);
+        }
       } else {
-        std::memset(data + img_elems * i, 0, img_elems * sizeof(float));
+        std::memset(static_cast<char*>(data) + img_elems * elem_size * i, 0,
+                    img_elems * elem_size);
         failures.fetch_add(1);
       }
     }

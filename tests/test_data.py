@@ -127,6 +127,27 @@ class TestDatasetAndLoader:
         assert b["T_0to1"].shape == (4, 4, 4)
         assert isinstance(b["scene_id"], list) and len(b["scene_id"]) == 4
 
+    def test_getitems_matches_getitem(self, tmp_path):
+        """Batch native decode path produces the same samples as per-item
+        cv2 decode (decode/resize rounding aside)."""
+        for i in range(2):
+            make_scene(tmp_path / "val" / f"s{i:05}", n_queries=12, seed=i)
+        c = self._make_cfg(tmp_path)
+        ds = MapFreeDataset(c, "val")
+        idx = [0, 3, 5]
+        batch = ds.getitems(idx)
+
+        def f01(x):  # batch path ships uint8; per-item path float [0,1]
+            return x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+
+        for sample, i in zip(batch, idx):
+            ref = ds[i]
+            assert sample.keys() == ref.keys()
+            assert np.abs(f01(sample["image0"]) - f01(ref["image0"])).max() < 0.02
+            assert np.abs(f01(sample["image1"]) - f01(ref["image1"])).max() < 0.02
+            np.testing.assert_allclose(sample["T_0to1"], ref["T_0to1"])
+            assert sample["pair_names"] == ref["pair_names"]
+
     def test_scene_balanced_sampler(self, tmp_path):
         make_scene(tmp_path / "train" / "a", n_queries=20, train=True, seed=0)
         make_scene(tmp_path / "train" / "b", n_queries=4, train=True, seed=1)
