@@ -22,60 +22,63 @@ VARIANTS_ANGLE_SIN = "sin"
 VARIANTS_ANGLE_COS = "cos"
 
 
+class _BadPoseLine(ValueError):
+    """Raised by the per-line parser; carries the skip reason."""
+
+
+def _parse_pose_line(parts, want_confidence: bool):
+    """One submission/GT line -> (frame_num, q_w2c, t_w2c, confidence).
+
+    Raises _BadPoseLine for anything malformed. Line format:
+    ``imgpath qw qx qy qz tx ty tz [confidence]`` with the frame number
+    embedded as ``.../frame_XXXXX.jpg``.
+    """
+    n_fields = 9 if want_confidence else 8
+    if len(parts) != n_fields:
+        raise _BadPoseLine(f"expected {n_fields} fields, got {len(parts)}")
+
+    name = parts[0]
+    try:
+        frame_num = int(name[-9:-4])
+    except ValueError:
+        raise _BadPoseLine(
+            'frame number not parseable (expected ".../frame_00000.jpg")'
+        ) from None
+
+    try:
+        values = np.array([float(v) for v in parts[1:]], dtype=np.float64)
+    except ValueError:
+        raise _BadPoseLine("non-numeric pose field") from None
+    if not np.isfinite(values).all():
+        raise _BadPoseLine("non-finite pose field")
+
+    q, t = values[:4], values[4:7]
+    if np.isclose(np.linalg.norm(q), 0):
+        raise _BadPoseLine("zero-norm quaternion")
+    confidence = values[7] if want_confidence else None
+    return frame_num, q, t, confidence
+
+
 def load_poses(file: typing.IO, load_confidence: bool = False):
     """Load poses from a text file, converting w2c -> c2w.
 
-    Format per line: ``imgpath qw qx qy qz tx ty tz [confidence]``.
-    Invalid lines are skipped with a warning (reference: benchmark/utils.py:18-74).
+    Malformed lines are skipped with a warning — the evaluator must survive
+    arbitrary user submissions (reference: benchmark/utils.py:18-74).
     Returns dict: frame_num -> (q_c2w, t_c2w, confidence).
     """
-    expected_parts = 9 if load_confidence else 8
-
     poses = {}
     for line_number, line in enumerate(file.readlines()):
-        parts = tuple(line.strip().split(" "))
-
-        if len(parts) != expected_parts:
-            logging.warning(
-                f"Invalid number of fields in file {getattr(file, 'name', '?')} line "
-                f"{line_number}. Expected {expected_parts}, received {len(parts)}. "
-                "Ignoring line."
-            )
+        parts = line.strip().split(" ")
+        if parts and "#" in parts[0]:
             continue
-
         try:
-            name = parts[0]
-            if "#" in name:
-                logging.info(f"Ignoring comment line {line_number}")
-                continue
-            frame_num = int(name[-9:-4])
-        except ValueError:
+            frame_num, q, t, confidence = _parse_pose_line(parts, load_confidence)
+        except _BadPoseLine as reason:
             logging.warning(
-                f"Invalid frame number in line {line_number}. Expected formatting "
-                '"seq1/frame_00000.jpg". Ignoring line.'
+                f"Skipping line {line_number} of "
+                f"{getattr(file, 'name', '?')}: {reason}."
             )
             continue
-
-        try:
-            parts_float = tuple(map(float, parts[1:]))
-            if any(np.isnan(v) or np.isinf(v) for v in parts_float):
-                raise ValueError()
-            qw, qx, qy, qz, tx, ty, tz = parts_float[:7]
-            confidence = parts_float[7] if load_confidence else None
-        except ValueError:
-            logging.warning(f"Error parsing pose in line {line_number}. Ignoring line.")
-            continue
-
-        q = np.array((qw, qx, qy, qz), dtype=np.float64)
-        t = np.array((tx, ty, tz), dtype=np.float64)
-
-        if np.isclose(np.linalg.norm(q), 0):
-            logging.warning(
-                f"Error parsing pose in line {line_number}. "
-                "Quaternion must have non-zero norm. Ignoring line."
-            )
-            continue
-
         q, t = convert_world2cam_to_cam2world(q, t)
         poses[frame_num] = (q, t, confidence)
     return poses
@@ -102,67 +105,65 @@ def load_K(file_path: Path):
     return K, W, H
 
 
+def _unit(q: np.ndarray) -> np.ndarray:
+    return q / np.linalg.norm(q)
+
+
 def quat_angle_error(label, pred, variant: str = VARIANTS_ANGLE_SIN) -> np.ndarray:
     """Angle between two quaternions, degrees, shape [1, 1].
 
-    'sin' variant: arcsin of the vector-part norm of the residual quaternion —
-    numerically precise for small angles (reference: benchmark/utils.py:95-129).
+    'sin' variant (the evaluator default): 2*arcsin of the vector-part norm
+    of the residual quaternion pred * label^-1 — numerically precise for the
+    small angles the pose threshold cares about, where the cos variant loses
+    precision to cancellation (reference: benchmark/utils.py:95-129).
     """
     assert variant in (VARIANTS_ANGLE_SIN, VARIANTS_ANGLE_COS)
-    label = np.asarray(label, dtype=np.float64)
-    pred = np.asarray(pred, dtype=np.float64)
-    if label.ndim == 1:
-        label = label[None]
-    if pred.ndim == 1:
-        pred = pred[None]
+    label = np.atleast_2d(np.asarray(label, dtype=np.float64))
+    pred = np.atleast_2d(np.asarray(pred, dtype=np.float64))
     if label.shape != (1, 4) or pred.shape != (1, 4):
         raise RuntimeError(
             f"Unexpected shapes label {label.shape}, pred {pred.shape}; expected (1, 4)"
         )
+    q_est, q_gt = _unit(pred[0]), _unit(label[0])
 
-    q1 = pred / np.linalg.norm(pred, axis=1, keepdims=True)
-    q2 = label / np.linalg.norm(label, axis=1, keepdims=True)
     if variant == VARIANTS_ANGLE_COS:
-        d = np.abs(np.sum(q1 * q2, axis=1, keepdims=True))
-        d = np.clip(d, a_min=-1, a_max=1)
+        d = np.clip(np.abs(np.dot(q_est, q_gt)), -1.0, 1.0)
         angle = 2.0 * np.degrees(np.arccos(d))
     else:
-        residual = qmult(q1[0], qinverse(q2[0]))
-        # 114.59... = 2 * 180 / pi
-        angle = np.arcsin(
-            np.clip(np.linalg.norm(residual[1:], keepdims=True), -1.0, 1.0)
-        ) * (2.0 * 180.0 / np.pi)
-        angle = angle[None]
-    return angle.astype(np.float64)
+        residual = qmult(q_est, qinverse(q_gt))
+        half_sin = np.clip(np.linalg.norm(residual[1:]), -1.0, 1.0)
+        angle = 2.0 * np.degrees(np.arcsin(half_sin))
+    return np.full((1, 1), angle, dtype=np.float64)
 
 
 def precision_recall(inliers, tp, failures):
     """Confidence-ranked precision/recall sweep with failure-aware recall.
 
-    Matches the leaderboard evaluator exactly (reference: benchmark/utils.py:132-182):
-    sort by confidence desc, take thresholds at distinct confidence values,
-    recall denominator includes failures, AP = |sum(d_rec * prec)|.
+    The numerics are the leaderboard contract (reference:
+    benchmark/utils.py:132-182): one operating point per distinct confidence
+    value (accept every frame at least that confident), recall denominator
+    includes frames with no estimate, AP = sum of d_recall x precision.
+    Returned curves run from highest recall to the (precision 1, recall 0)
+    anchor — the format the PR plots consume.
     """
-    assert len(inliers) == len(tp), "unequal shapes"
+    confidence = np.asarray(inliers, np.float64).reshape(-1)
+    hits = np.asarray(tp, np.float64).reshape(-1)
+    assert confidence.shape == hits.shape, "unequal shapes"
 
-    inliers = np.array(inliers)
-    sort_idx = np.argsort(inliers)[::-1]
-    inliers = inliers[sort_idx]
-    tp = np.array(tp).reshape(-1)[sort_idx]
+    order = np.argsort(confidence)[::-1]
+    confidence = confidence[order]
+    hits = hits[order]
 
-    distinct_value_indices = np.where(np.diff(inliers))[0]
-    threshold_idxs = np.r_[distinct_value_indices, inliers.size - 1]
+    # a threshold sits after the last member of each equal-confidence group
+    group_end = np.append(confidence[1:] != confidence[:-1], True)
+    n_accepted = np.flatnonzero(group_end) + 1.0
+    tp_accepted = np.cumsum(hits)[group_end]
 
-    N = inliers.shape[0]
-    rec = np.arange(N, dtype=np.float32) + 1
-    cum_tp = np.cumsum(tp)
-    prec = cum_tp[threshold_idxs] / rec[threshold_idxs]
-    rec = rec[threshold_idxs] / (float(N) + float(failures))
+    prec_pts = tp_accepted / n_accepted
+    rec_pts = n_accepted / (hits.size + float(failures))
 
-    last_ind = rec.searchsorted(rec[-1])
-    sl = slice(last_ind, None, -1)
-    prec = np.r_[prec[sl], 1]
-    rec = np.r_[rec[sl], 0]
+    ap = float(np.sum(np.diff(np.concatenate([[0.0], rec_pts])) * prec_pts))
 
-    average_precision = np.abs(np.sum(np.diff(rec) * np.array(prec)[:-1]))
-    return prec, rec, average_precision
+    prec = np.concatenate([prec_pts[::-1], [1.0]])
+    rec = np.concatenate([rec_pts[::-1], [0.0]])
+    return prec, rec, ap
