@@ -46,33 +46,46 @@ class PrecomputedMatching:
     """Correspondences from a precomputed npz (reference
     feature_matching.py:5-50)."""
 
+    # a sweep visits scenes sequentially, but a batch may straddle a scene
+    # boundary; a small LRU keeps both sides loaded (one npz load per scene
+    # per sweep instead of one per boundary-crossing item)
+    CACHE_SCENES = 4
+
     def __init__(self, cfg):
-        self.correspondences = None
         self.max_n = int(cfg.TPU.MAX_CORRESPONDENCES)
+        self._cache: dict = {}  # scene_id -> correspondences array
         if "{" in cfg.MATCHES_FILE_PATH:
             self.matches_file_path = cfg.MATCHES_FILE_PATH
-            self.scene_id = None
             self.pairs_txt = cfg.DATASET.PAIRS_TXT.TEST
+            self.fixed = None
         else:
             self.matches_file_path = None
-            self._load(cfg.MATCHES_FILE_PATH)
+            self.fixed = self._load(cfg.MATCHES_FILE_PATH)
 
-    def _load(self, file_path):
+    @staticmethod
+    def _load(file_path):
         data = np.load(file_path, allow_pickle=True)
-        self.correspondences = data["correspondences"].astype(np.float32)
+        return data["correspondences"].astype(np.float32)
+
+    def _scene_correspondences(self, scene_id, scene_root):
+        if self.fixed is not None:
+            return self.fixed
+        if scene_id not in self._cache:
+            path = self.matches_file_path.format(
+                scene_root=scene_root, pairs_txt=self.pairs_txt
+            )
+            self._cache[scene_id] = self._load(path)
+            while len(self._cache) > self.CACHE_SCENES:
+                self._cache.pop(next(iter(self._cache)))
+        return self._cache[scene_id]
 
     def get_correspondences(self, batch):
         corr_list = []
         for i in range(len(batch["pair_id"])):
-            if self.matches_file_path is not None:
-                scene_id = batch["scene_id"][i]
-                if scene_id != getattr(self, "scene_id", None):
-                    self.scene_id = scene_id
-                    path = self.matches_file_path.format(
-                        scene_root=batch["scene_root"][i], pairs_txt=self.pairs_txt
-                    )
-                    self._load(path)
-            corr = self.correspondences[int(batch["pair_id"][i])]
+            table = self._scene_correspondences(
+                batch["scene_id"][i], batch["scene_root"][i]
+            )
+            corr = table[int(batch["pair_id"][i])]
             corr = corr[~np.isnan(corr)].reshape(-1, 4)
             corr_list.append(corr)
         return pad_correspondences(corr_list, self.max_n)

@@ -21,7 +21,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from mapfree_tpu.ops.ransac import inlier_mask, masked_sample_indices, msac_score
+import numpy as np
+
+from mapfree_tpu.ops.ransac import (
+    inlier_mask,
+    magsac_score,
+    masked_sample_indices,
+    msac_score,
+)
 
 
 def normalize_keypoints(kpts, K):
@@ -57,6 +64,148 @@ def _eight_point(x0, x1, w):
     U, S, Vt = jnp.linalg.svd(E)
     s = (S[0] + S[1]) / 2.0
     return (U * jnp.asarray([s, s, 0.0])) @ Vt
+
+
+# ------------------------------------------------------------ 5-point ------
+#
+# Nistér's minimal problem via the hidden-variable resultant, shaped for
+# vmap/TPU (no nonsymmetric eigendecomposition):
+#
+# 1. the 5 epipolar constraints give a 4-dim nullspace: E = x E1 + y E2 +
+#    z E3 + E4;
+# 2. det(E) = 0 and 2 E E^T E - tr(E E^T) E = 0 are 10 cubic constraints in
+#    (x, y, z). Their coefficients over the 20 cubic monomials are extracted
+#    NUMERICALLY: evaluate each constraint at 20 fixed generic points and
+#    multiply by the precomputed inverse Vandermonde (exact interpolation of
+#    a degree-3 polynomial, no symbolic expansion to maintain);
+# 3. grouping by the 10 (x, y)-monomials turns the system into M(z) m = 0
+#    with M a 10x10 matrix whose entries are cubics in z; solutions satisfy
+#    det M(z) = 0 (Nistér's degree-10 polynomial);
+# 4. roots are isolated on a tan(theta) grid — entries are homogenised to
+#    degree 3 in (sin, cos) so the determinant stays bounded over all of R —
+#    and polished by fixed-count bisection; (x, y) are read off M(z*)'s null
+#    vector. Up to _MAX_ROOTS candidates per sample, validity-masked.
+
+# (x, y) monomial order for the columns of M(z); x = m[7]/m[9], y = m[8]/m[9]
+_XY_MONOS = [(3, 0), (2, 1), (1, 2), (0, 3), (2, 0), (1, 1), (0, 2),
+             (1, 0), (0, 1), (0, 0)]
+# all 20 cubic monomials in (x, y, z): (a, b) from the list above with the
+# z-power filling the remaining degree
+_XYZ_MONOS = [(a, b, c) for a, b in _XY_MONOS for c in range(0, 4 - a - b)]
+assert len(_XYZ_MONOS) == 20
+
+_rng = np.random.default_rng(12345)
+_EVAL_PTS = _rng.uniform(-1.0, 1.0, size=(20, 3))
+_VANDER = np.stack(
+    [
+        [p[0] ** a * p[1] ** b * p[2] ** c for a, b, c in _XYZ_MONOS]
+        for p in _EVAL_PTS
+    ]
+)
+_VANDER_INV = np.linalg.inv(_VANDER)  # cond ~1e3: exact-degree interpolation
+del _rng
+
+_MAX_ROOTS = 10
+_GRID = 129  # theta samples for sign-change isolation
+_BISECT_ITERS = 30
+
+
+def _nister_constraints(p, basis):
+    """The 10 cubic constraint values at (x, y, z) = p. basis: [4, 3, 3]."""
+    E = p[0] * basis[0] + p[1] * basis[1] + p[2] * basis[2] + basis[3]
+    EEt = E @ E.T
+    T = 2.0 * (EEt @ E) - jnp.trace(EEt) * E
+    return jnp.concatenate([T.reshape(9), jnp.linalg.det(E)[None]])
+
+
+def _mz_coefficients(basis):
+    """Coefficients Mc [4, 10, 10] of M(z) = sum_k Mc[k] z^k (rows scaled)."""
+    vals = jax.vmap(lambda p: _nister_constraints(p, basis))(
+        jnp.asarray(_EVAL_PTS, basis.dtype)
+    )  # [20 points, 10 constraints]
+    coeffs = (jnp.asarray(_VANDER_INV, basis.dtype) @ vals).T  # [10, 20]
+
+    Mc = jnp.zeros((4, 10, 10), basis.dtype)
+    col_of = {ab: i for i, ab in enumerate(_XY_MONOS)}
+    for mono_idx, (a, b, c) in enumerate(_XYZ_MONOS):
+        Mc = Mc.at[c, :, col_of[(a, b)]].set(coeffs[:, mono_idx])
+    # per-row max-abs normalisation: keeps det M in f32 range; scaling rows
+    # by positive constants moves neither roots nor null vectors
+    s = jnp.max(jnp.abs(Mc), axis=(0, 2), keepdims=True)
+    return Mc / jnp.maximum(s, 1e-20)
+
+
+def _m_tilde(Mc, theta):
+    """M(tan theta) homogenised: entry coeffs (az^3+bz^2+cz+d) become
+    a s^3 + b s^2 c + c s c^2 + d c^3 — bounded for any theta, same null
+    vector and determinant sign pattern as M(z) on (-pi/2, pi/2)."""
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    pows = jnp.stack([c**3, s * c**2, s**2 * c, s**3])  # z^0..z^3
+    return jnp.einsum("k,kij->ij", pows, Mc)
+
+
+def _five_point_candidates(x0, x1):
+    """Essential-matrix candidates from 5 normalized correspondences.
+
+    Returns (Es [_MAX_ROOTS, 3, 3], valid [_MAX_ROOTS]).
+    """
+    dtype = x0.dtype
+    u0, v0 = x0[:, 0], x0[:, 1]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    ones = jnp.ones_like(u0)
+    A = jnp.stack(
+        [u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1
+    )  # [5, 9]
+    _, V = jnp.linalg.eigh(A.T @ A)
+    basis = V[:, :4].T.reshape(4, 3, 3)  # E1, E2, E3; E4 = affine part
+    Mc = _mz_coefficients(basis)
+
+    # sign-change isolation over theta
+    eps = 1e-3
+    thetas = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, _GRID)
+    f = jnp.linalg.det(jax.vmap(lambda t: _m_tilde(Mc, t))(thetas))  # [G]
+    sign = jnp.where(f >= 0, 1.0, -1.0)
+    is_bracket = sign[:-1] * sign[1:] < 0  # [G-1]
+    # earliest _MAX_ROOTS brackets (fixed shape)
+    pick_score = is_bracket.astype(dtype) * 2.0 - jnp.arange(_GRID - 1) * (
+        1.0 / _GRID
+    )
+    _, bracket_idx = jax.lax.top_k(pick_score, _MAX_ROOTS)
+    valid = is_bracket[bracket_idx]
+
+    lo = thetas[bracket_idx]
+    hi = thetas[bracket_idx + 1]
+    s_lo = sign[bracket_idx]
+
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        fm = jnp.linalg.det(jax.vmap(lambda t: _m_tilde(Mc, t))(mid))
+        same = jnp.where(fm >= 0, 1.0, -1.0) == s_lo
+        return (jnp.where(same, mid, lo), jnp.where(same, hi, mid)), None
+
+    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=_BISECT_ITERS)
+    theta_star = 0.5 * (lo + hi)
+    z = jnp.tan(theta_star)  # [_MAX_ROOTS]
+
+    def recover(theta, z):
+        Mt = _m_tilde(Mc, theta)
+        _, Vm = jnp.linalg.eigh(Mt.T @ Mt)
+        m = Vm[:, 0]
+        d = m[9]
+        safe = d / (d * d + 1e-12)
+        x = m[7] * safe
+        y = m[8] * safe
+        E = x * basis[0] + y * basis[1] + z * basis[2] + basis[3]
+        # project onto the essential manifold
+        U, S, Vt = jnp.linalg.svd(E)
+        sv = (S[0] + S[1]) / 2.0
+        return (U * jnp.asarray([sv, sv, 0.0], dtype)) @ Vt
+
+    Es = jax.vmap(recover)(theta_star, z)
+    valid = valid & jnp.isfinite(Es).all(axis=(1, 2))
+    Es = jnp.where(valid[:, None, None], Es, jnp.eye(3, dtype=dtype))
+    return Es, valid
 
 
 def _homography_4pt(x0, x1, w):
@@ -303,7 +452,8 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
         E [3, 3], inliers [N] bool, valid (bool scalar: >= 5 valid points).
     """
     thr_sq = thr * thr
-    idx = masked_sample_indices(key, mask, n_iters, 8)  # [It, 8]
+    k8, k5 = jax.random.split(key)
+    idx = masked_sample_indices(k8, mask, n_iters, 8)  # [It, 8]
 
     def solve_one(sample_idx):
         x0 = kpts0_n[sample_idx]
@@ -311,9 +461,29 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
         w = mask[sample_idx].astype(kpts0_n.dtype)
         return _eight_point(x0, x1, w)
 
-    Es = jax.vmap(solve_one)(idx)  # [It, 3, 3]
+    Es8 = jax.vmap(solve_one)(idx)  # [It, 3, 3]
+
+    # 5-point Nistér minimal hypotheses (reference pose_solver.py:46-48 uses
+    # OpenCV's 5-point inside USAC_MAGSAC): at inlier ratio w the all-inlier
+    # sample probability is w^5 vs w^8 — at 50% outliers that is 8x more
+    # clean samples per budget, which is what decides the epipolar basin
+    n5 = max(n_iters // 4, 32)
+    idx5 = masked_sample_indices(k5, mask, n5, 5)
+
+    def solve_five(sample_idx):
+        return _five_point_candidates(kpts0_n[sample_idx], kpts1_n[sample_idx])
+
+    Es5, valid5 = jax.vmap(solve_five)(idx5)  # [n5, R, 3, 3], [n5, R]
+    Es5 = Es5.reshape(-1, 3, 3)
+    valid5 = valid5.reshape(-1)
+
+    Es = jnp.concatenate([Es8, Es5])
+    hypo_ok = jnp.concatenate(
+        [jnp.ones(Es8.shape[0], bool), valid5]
+    )
     residuals = jax.vmap(lambda E: sampson_sq(E, kpts0_n, kpts1_n))(Es)
-    scores = msac_score(residuals, mask, thr_sq)
+    scores = magsac_score(residuals, mask, thr_sq)
+    scores = jnp.where(hypo_ok, scores, jnp.inf)
 
     # local optimisation on the TOP-K hypotheses (vmapped), not just the best:
     # iterated reweighted 8-point refits + a Gauss-Newton manifold polish.
@@ -329,7 +499,7 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
             w = inl.astype(kpts0_n.dtype) / jnp.sqrt(1.0 + res_cur / thr_sq)
             E_refit = _eight_point(kpts0_n, kpts1_n, w)
             refit_res = sampson_sq(E_refit, kpts0_n, kpts1_n)
-            refit_score = msac_score(refit_res, mask, thr_sq)
+            refit_score = magsac_score(refit_res, mask, thr_sq)
             use = refit_score < score_cur
             E_cur = jnp.where(use, E_refit, E_cur)
             res_cur = jnp.where(use, refit_res, res_cur)
@@ -341,7 +511,7 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
             w = mask.astype(kpts0_n.dtype) / (1.0 + res_cur / thr_sq)
             E_gn = refine_essential_gn(E_cur, kpts0_n, kpts1_n, w)
             gn_res = sampson_sq(E_gn, kpts0_n, kpts1_n)
-            gn_score = msac_score(gn_res, mask, thr_sq)
+            gn_score = magsac_score(gn_res, mask, thr_sq)
             use = gn_score < score_cur
             E_cur = jnp.where(use, E_gn, E_cur)
             res_cur = jnp.where(use, gn_res, res_cur)
@@ -363,7 +533,7 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
         E_em = refine_essential_gn(E_final, kpts0_n, kpts1_n,
                                    inl.astype(kpts0_n.dtype), n_iters=8)
         em_res = sampson_sq(E_em, kpts0_n, kpts1_n)
-        em_score = msac_score(em_res, mask, thr_sq)
+        em_score = magsac_score(em_res, mask, thr_sq)
         use = em_score < score_final
         E_final = jnp.where(use, E_em, E_final)
         res_final = jnp.where(use, em_res, res_final)

@@ -34,9 +34,28 @@ def masked_sample_indices(key, mask, n_iters: int, sample_size: int):
     order = jnp.argsort(jnp.logical_not(mask), stable=True)
     n_valid = jnp.sum(mask.astype(jnp.int32))
     u = jax.random.uniform(key, (n_iters, sample_size))
-    j = jnp.floor(u * jnp.maximum(n_valid, 1).astype(u.dtype)).astype(jnp.int32)
-    j = jnp.clip(j, 0, N - 1)
-    return order[j]
+
+    # sample WITHOUT replacement (given >= sample_size valid points):
+    # the i-th pick is drawn uniformly from the n_valid - i unchosen slots,
+    # then shifted past every smaller already-chosen index (ascending scan).
+    # Duplicate indices would make the minimal system rank-deficient and
+    # silently waste hypothesis budget.
+    sentinel = jnp.int32(N + sample_size)
+    picks = jnp.full((n_iters, sample_size), sentinel, jnp.int32)
+    for i in range(sample_size):
+        span = jnp.maximum(n_valid - i, 1).astype(u.dtype)
+        j = jnp.floor(u[:, i] * span).astype(jnp.int32)
+        j = jnp.clip(j, 0, jnp.maximum(n_valid - i - 1, 0))
+        prev = jnp.sort(picks, axis=1)  # chosen ascending, sentinels last
+        for c_idx in range(i):
+            j = j + (j >= prev[:, c_idx]).astype(jnp.int32)
+        picks = picks.at[:, i].set(j)
+
+    # fewer valid points than the minimal set: repeats are unavoidable, but
+    # picks must stay inside the valid span (the caller's min-count gate
+    # rejects the hypothesis anyway)
+    picks = jnp.clip(picks, 0, jnp.maximum(n_valid - 1, 0))
+    return order[picks]
 
 
 def msac_score(residual_sq, mask, thr_sq):
@@ -49,6 +68,25 @@ def msac_score(residual_sq, mask, thr_sq):
     capped = jnp.minimum(residual_sq, thr_sq)
     capped = jnp.where(mask, capped, thr_sq)
     return jnp.sum(capped, axis=-1)
+
+
+def magsac_score(residual_sq, mask, thr_sq, n_sigmas: int = 4):
+    """Sigma-marginalised robust score (MAGSAC-style) — lower is better.
+
+    OpenCV's USAC_MAGSAC scores hypotheses marginalised over the unknown
+    inlier noise scale instead of committing to one threshold (reference
+    pose_solver.py:46-48). This is the discrete form: the truncated-quadratic
+    score is averaged over a geometric ladder of scales sigma_k = thr / 2^k,
+    each normalised to [0, 1] per point, so a hypothesis is rewarded for
+    fitting its inliers *tightly*, not merely for clearing one threshold —
+    the property that separates competing epipolar basins under noise.
+    """
+    total = 0.0
+    for k in range(n_sigmas):
+        s = thr_sq / (4.0**k)
+        capped = jnp.where(mask, jnp.minimum(residual_sq, s), s)
+        total = total + jnp.sum(capped, axis=-1) / s
+    return total / n_sigmas
 
 
 def inlier_mask(residual_sq, mask, thr_sq):

@@ -133,6 +133,52 @@ class TestEssential:
         assert rot_err_deg(np.asarray(out["R"][0]), R) < 2.0
         assert t_dir_err_deg(np.asarray(out["t"][0]), t) < 8.0
 
+    def test_five_point_minimal_clean(self):
+        """The Nistér 5-point solver recovers the true E from an exact
+        minimal sample (up to scale/sign; one of the <= 10 roots)."""
+        from mapfree_tpu.ops.essential import (
+            _five_point_candidates,
+            normalize_keypoints,
+        )
+
+        k0, k1, _, R, t, _ = synth_pair(n_points=5, noise=0.0, seed=42)
+        x0 = normalize_keypoints(jnp.asarray(k0), jnp.asarray(K))
+        x1 = normalize_keypoints(jnp.asarray(k1), jnp.asarray(K))
+        Es, valid = _five_point_candidates(x0, x1)
+        Es, valid = np.asarray(Es), np.asarray(valid)
+        assert valid.sum() >= 1
+
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+        E_true = tx @ R
+        E_true /= np.linalg.norm(E_true)
+        best = min(
+            min(np.abs(E / np.linalg.norm(E) - E_true).max(),
+                np.abs(E / np.linalg.norm(E) + E_true).max())
+            for E, v in zip(Es, valid) if v
+        )
+        assert best < 5e-3, best  # float32 root isolation
+
+    def test_high_outlier_stress(self):
+        """50% outliers + 0.5 px noise — the regime where the 8-point-only
+        pipeline lost the epipolar basin (r1 VERDICT item 4): median rot
+        error was ~6 deg with 24 deg failures; the 5-point + MAGSAC pipeline
+        must stay tight on every seed."""
+        rot_errs, t_errs = [], []
+        for s in range(5):
+            k0, k1, mask, R, t, _ = synth_pair(
+                n_points=200, n_outliers=100, noise=0.5, seed=100 + s)
+            out = essential_pose(
+                jax.random.PRNGKey(s),
+                jnp.asarray(k0[None]), jnp.asarray(k1[None]),
+                jnp.asarray(mask[None]),
+                jnp.asarray(K[None]), jnp.asarray(K[None]), 2.0, n_iters=512,
+            )
+            rot_errs.append(rot_err_deg(np.asarray(out["R"][0]), R))
+            t_errs.append(t_dir_err_deg(np.asarray(out["t"][0]), t))
+        assert np.median(rot_errs) < 2.5, rot_errs
+        assert np.max(rot_errs) < 8.0, rot_errs
+        assert np.median(t_errs) < 6.0, t_errs
+
     def test_too_few_points_nan(self):
         k0 = np.zeros((1, 16, 2), np.float32)
         k1 = np.zeros((1, 16, 2), np.float32)
