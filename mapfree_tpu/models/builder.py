@@ -8,6 +8,8 @@ batch shape and pad smaller (final) batches up to it.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -37,30 +39,54 @@ class RegressionPredictor:
             batch = ((batch + n - 1) // n) * n
         self.batch_size = batch
 
-        if cfg.MODEL == "RegressionMultiFrame":
-            img1_shape = (self.batch_size, cfg.DATASET.QUERY_FRAME_COUNT, H, W, 3)
+        F = int(cfg.DATASET.QUERY_FRAME_COUNT)
+        if cfg.MODEL in ("RegressionMultiFrame", "RegressionMultiFrameFusion"):
+            img1_shape = (self.batch_size, F, H, W, 3)
         else:
             img1_shape = (self.batch_size, H, W, 3)
         img0 = jnp.zeros((self.batch_size, H, W, 3), jnp.float32)
         img1 = jnp.zeros(img1_shape, jnp.float32)
 
+        self.needs_device_poses = getattr(self.net, "needs_device_poses", False)
+        init_kwargs = {}
+        if self.needs_device_poses:
+            q0 = jnp.zeros((self.batch_size, F, 4), jnp.float32).at[..., 0].set(1.0)
+            init_kwargs = {
+                "q_device": q0,
+                "t_device": jnp.zeros((self.batch_size, F, 3), jnp.float32),
+            }
+
         if checkpoint:
             import orbax.checkpoint as ocp
 
             abstract = jax.eval_shape(
-                lambda: self.net.init(jax.random.PRNGKey(0), img0, img1, train=False)
+                lambda: self.net.init(jax.random.PRNGKey(0), img0, img1,
+                                      train=False, **init_kwargs)
             )
             self.variables = ocp.StandardCheckpointer().restore(checkpoint, abstract)
         else:
-            self.variables = jax.jit(self.net.init, static_argnums=(3,))(
-                jax.random.PRNGKey(0), img0, img1, False
-            )
+            self.variables = jax.jit(
+                partial(self.net.init, train=False, **init_kwargs)
+            )(jax.random.PRNGKey(0), img0, img1)
 
-        def _forward(image0, image1):
-            R, t, _ = self.net.apply(self.variables, image0, image1, train=False)
-            # pack into one [B, 4, 3] output: a single D2H fetch per batch
-            # (each fetch pays a full round trip on remote-TPU links)
+        def _pack(R, t):
+            # one [B, 4, 3] output: a single D2H fetch per batch (each fetch
+            # pays a full round trip on remote-TPU links)
             return jnp.concatenate([R, t.reshape(-1, 1, 3)], axis=1)
+
+        if self.needs_device_poses:
+            def _forward(image0, image1, q_device, t_device):
+                R, t, _ = self.net.apply(
+                    self.variables, image0, image1, train=False,
+                    q_device=q_device, t_device=t_device)
+                return _pack(R, t)
+            n_in = 4
+        else:
+            def _forward(image0, image1):
+                R, t, _ = self.net.apply(self.variables, image0, image1,
+                                         train=False)
+                return _pack(R, t)
+            n_in = 2
 
         if self.mesh is None:
             self._predict = jax.jit(_forward)
@@ -68,7 +94,7 @@ class RegressionPredictor:
             sharded = NamedSharding(self.mesh, P(DATA_AXIS))
             self._predict = jax.jit(
                 _forward,
-                in_shardings=(sharded, sharded),
+                in_shardings=(sharded,) * n_in,
                 out_shardings=sharded,
             )
 
@@ -83,14 +109,20 @@ class RegressionPredictor:
         if image0.dtype != np.uint8:  # uint8 ships as-is (4x fewer bytes)
             image0 = image0.astype(np.float32, copy=False)
             image1 = image1.astype(np.float32, copy=False)
+        args = [image0, image1]
+        if self.needs_device_poses:
+            q = np.asarray(batch["abs_q_1_w2c_device"], np.float32)
+            t = np.asarray(batch["abs_c_1_c2w_device"], np.float32)
+            args += [q, t]
         B = image0.shape[0]
         if B < self.batch_size:  # pad the final partial batch
             pad = self.batch_size - B
-            image0 = np.concatenate(
-                [image0, np.zeros((pad,) + image0.shape[1:], image0.dtype)])
-            image1 = np.concatenate(
-                [image1, np.zeros((pad,) + image1.shape[1:], image1.dtype)])
-        out = self._predict(jnp.asarray(image0), jnp.asarray(image1))
+            for i, a in enumerate(args):
+                filler = np.zeros((pad,) + a.shape[1:], a.dtype)
+                if i == 2:  # device quaternions must stay unit-norm
+                    filler[..., 0] = 1.0
+                args[i] = np.concatenate([a, filler])
+        out = self._predict(*(jnp.asarray(a) for a in args))
 
         def finalize():
             host = np.asarray(out)[:B]
@@ -115,6 +147,7 @@ class MatchingPredictor:
 def build_model(cfg, checkpoint: str = ""):
     if cfg.MODEL == "FeatureMatching":
         return MatchingPredictor(cfg)
-    if cfg.MODEL in ("Regression", "RegressionMultiFrame"):
+    if cfg.MODEL in ("Regression", "RegressionMultiFrame",
+                     "RegressionMultiFrameFusion"):
         return RegressionPredictor(cfg, checkpoint)
     raise NotImplementedError(f"Invalid model {cfg.MODEL}")

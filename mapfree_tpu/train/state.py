@@ -58,7 +58,8 @@ def make_optimizer(tcfg) -> optax.GradientTransformation:
 
 def init_state(net, cfg, rng, sample_batch) -> TrainState:
     variables = net.init(
-        rng, sample_batch["image0"], sample_batch["image1"], train=True
+        rng, sample_batch["image0"], sample_batch["image1"], train=True,
+        **_net_kwargs(net, sample_batch),
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -72,16 +73,28 @@ def init_state(net, cfg, rng, sample_batch) -> TrainState:
     )
 
 
+def _net_kwargs(net, batch) -> dict:
+    """Extra inputs some models consume (multi-frame fusion: device poses)."""
+    if getattr(net, "needs_device_poses", False):
+        return {
+            "q_device": batch["abs_q_1_w2c_device"],
+            "t_device": batch["abs_c_1_c2w_device"],
+        }
+    return {}
+
+
 def _forward_loss(net, cfg, params, batch_stats, batch, train: bool):
     variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = _net_kwargs(net, batch)
     if train:
         (R, t, aux), mutated = net.apply(
             variables, batch["image0"], batch["image1"], train=True,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], **kwargs,
         )
         new_batch_stats = mutated["batch_stats"]
     else:
-        R, t, aux = net.apply(variables, batch["image0"], batch["image1"], train=False)
+        R, t, aux = net.apply(variables, batch["image0"], batch["image1"],
+                              train=False, **kwargs)
         new_batch_stats = batch_stats
 
     preds = dict(aux)
@@ -164,7 +177,8 @@ def make_predict_step(net, cfg, mesh: Mesh | None = None):
 
     def predict(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        R, t, _ = net.apply(variables, batch["image0"], batch["image1"], train=False)
+        R, t, _ = net.apply(variables, batch["image0"], batch["image1"],
+                            train=False, **_net_kwargs(net, batch))
         return R, t
 
     if mesh is None:

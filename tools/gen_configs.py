@@ -82,6 +82,10 @@ MAPFREE_REG_VARIANTS = {
         "AGGREGATOR": {"TYPE": "CorrelationVolumeWarpingQKV",
                        "NORMALISE_DOT": False, "RESIDUAL_ATT": True}}),
     "multiframe/3d3d_multi.yaml": {"MODEL": "RegressionMultiFrame"},
+    # framework extension (not in the reference): true 9-frame fusion — all
+    # query frames encoded in one dispatch, per-frame poses chained through
+    # the device tracking and fused in the last frame's coordinates
+    "multiframe/3d3d_multi_fusion.yaml": {"MODEL": "RegressionMultiFrameFusion"},
 }
 
 REG_BASE_SCANNET = deep_update(REG_BASE_MAPFREE, {
