@@ -6,3 +6,8 @@ from mapfree_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from mapfree_tpu.parallel.multihost import (
+    merge_submissions,
+    run_sharded_sweep,
+    shard_scenes,
+)

@@ -14,6 +14,25 @@ def eval(args):
     cfg.merge_from_file(args.dataset_config)
     cfg.merge_from_file(args.config)
 
+    import jax
+
+    if args.num_hosts or jax.process_count() > 1:
+        # pod-scale sweep: shard the scene list over hosts (DCN only touches
+        # the final merge on the shared filesystem; see parallel/multihost.py)
+        from jax.experimental import multihost_utils
+
+        from mapfree_tpu.parallel import run_sharded_sweep
+
+        barrier = (multihost_utils.sync_global_devices
+                   if jax.process_count() > 1 else None)
+        args.output_root.mkdir(parents=True, exist_ok=True)
+        out = run_sharded_sweep(
+            cfg, args.split, args.output_root,
+            n_hosts=args.num_hosts, host_id=args.host_id, barrier=barrier,
+        )
+        print(f"wrote {out}")
+        return
+
     batch = int(cfg.TPU.INFER_BATCH)
     dm = DataModule(cfg)
     if args.split == "test":
@@ -45,5 +64,10 @@ if __name__ == "__main__":
                         help="path to model checkpoint (learned models)")
     parser.add_argument("--output_root", "-o", type=Path, default=Path("results/"))
     parser.add_argument("--split", choices=("val", "test"), default="test")
+    parser.add_argument("--num_hosts", type=int, default=None,
+                        help="override host count for a sharded sweep "
+                             "(default: jax.process_count())")
+    parser.add_argument("--host_id", type=int, default=None,
+                        help="override this host's shard id")
     args = parser.parse_args()
     eval(args)
