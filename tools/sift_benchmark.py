@@ -1,0 +1,153 @@
+"""SIFT accuracy benchmark: TPU SIFT (ops/sift.py) vs OpenCV SIFT.
+
+Measures, on synthetically warped textured images (known homographies):
+- repeatability: fraction of keypoints whose warped location has a detected
+  counterpart within eps pixels in the other view;
+- matching score: fraction of mutual-NN descriptor matches consistent with
+  the homography within eps pixels.
+
+Run: python tools/sift_benchmark.py          (table to stdout)
+Results recorded in docs/SIFT_ACCURACY.md (VERDICT r1 item 9).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EPS_PX = 3.0
+N_FEATURES = 1000
+
+
+def make_texture(seed=0, H=480, W=640):
+    """Photo-like test image: multi-scale smooth noise + edges."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((H, W), np.float32)
+    for cell in (8, 16, 32, 64):
+        low = rng.normal(size=(H // cell, W // cell)).astype(np.float32)
+        img += cv2.resize(low, (W, H), interpolation=cv2.INTER_CUBIC) / len(
+            (8, 16, 32, 64))
+    # some hard structure
+    for _ in range(30):
+        p0 = rng.integers(0, (W, H))
+        p1 = rng.integers(0, (W, H))
+        cv2.line(img, tuple(p0), tuple(p1), float(rng.uniform(-2, 2)), 2)
+    img = (img - img.min()) / (img.max() - img.min())
+    return (img * 255).astype(np.uint8)
+
+
+def warp_homographies(H, W):
+    import cv2
+
+    def rot(angle, scale=1.0):
+        M = cv2.getRotationMatrix2D((W / 2, H / 2), angle, scale)
+        return np.vstack([M, [0, 0, 1]]).astype(np.float64)
+
+    persp = np.array([[1, 0.05, 10], [0.02, 1, -8],
+                      [2e-5, 1e-5, 1]], np.float64)
+    return {
+        "rot15": rot(15), "rot30": rot(30),
+        "scale0.8": rot(0, 0.8), "scale1.25": rot(0, 1.25),
+        "perspective": persp,
+    }
+
+
+def detect_cv2(img_u8):
+    import cv2
+
+    sift = cv2.SIFT_create(N_FEATURES)
+    kps, desc = sift.detectAndCompute(img_u8, None)
+    pts = np.array([k.pt for k in kps], np.float32).reshape(-1, 2)
+    if desc is None:
+        desc = np.zeros((0, 128), np.float32)
+    return pts, desc.astype(np.float32)
+
+
+def detect_tpu(img_u8):
+    import jax.numpy as jnp
+
+    from mapfree_tpu.ops.sift import root_sift, sift_detect_describe
+
+    gray = jnp.asarray(img_u8[None].astype(np.float32) / 255.0)
+    out = sift_detect_describe(gray, num_features=N_FEATURES)
+    m = np.asarray(out["mask"][0])
+    pts = np.asarray(out["keypoints"][0])[m]
+    desc = np.asarray(root_sift(out["descriptors"]))[0][m]
+    return pts.astype(np.float32), desc.astype(np.float32)
+
+
+def project(pts, Hm):
+    ph = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ Hm.T
+    return ph[:, :2] / ph[:, 2:3]
+
+
+def visible(pts, H, W, margin=8):
+    return ((pts[:, 0] >= margin) & (pts[:, 0] < W - margin)
+            & (pts[:, 1] >= margin) & (pts[:, 1] < H - margin))
+
+
+def repeatability(ptsA, ptsB, Hm, H, W):
+    projA = project(ptsA, Hm)
+    okA = visible(projA, H, W)
+    okB = visible(ptsB, H, W)
+    a, b = projA[okA], ptsB[okB]
+    if len(a) == 0 or len(b) == 0:
+        return 0.0, 0
+    d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    hit = (d.min(axis=1) < EPS_PX).sum()
+    denom = min(len(a), len(b))
+    return hit / denom, denom
+
+
+def matching_score(ptsA, dA, ptsB, dB, Hm, H, W):
+    projA = project(ptsA, Hm)
+    okA = visible(projA, H, W)
+    okB = visible(ptsB, H, W)
+    a_pts, a_desc = projA[okA], dA[okA]
+    b_pts, b_desc = ptsB[okB], dB[okB]
+    if len(a_pts) == 0 or len(b_pts) == 0:
+        return 0.0
+    sim = a_desc @ b_desc.T
+    nnA = sim.argmax(axis=1)
+    nnB = sim.argmax(axis=0)
+    mutual = nnB[nnA] == np.arange(len(a_pts))
+    good = (np.linalg.norm(a_pts - b_pts[nnA], axis=1) < EPS_PX) & mutual
+    return good.sum() / min(len(a_pts), len(b_pts))
+
+
+def main():
+    import cv2
+
+    img = make_texture()
+    H, W = img.shape
+    rows = []
+    for name, Hm in warp_homographies(H, W).items():
+        warped = cv2.warpPerspective(img, Hm, (W, H))
+        for detector, fn in (("cv2", detect_cv2), ("tpu", detect_tpu)):
+            pA, dA = fn(img)
+            pB, dB = fn(warped)
+            rep, n = repeatability(pA, pB, Hm, H, W)
+            ms = matching_score(pA, dA, pB, dB, Hm, H, W)
+            rows.append((name, detector, len(pA), rep, ms))
+
+    print(f"{'warp':<12} {'det':<4} {'#kp':>5} {'repeat':>8} {'match':>8}")
+    for name, det, nkp, rep, ms in rows:
+        print(f"{name:<12} {det:<4} {nkp:>5} {rep:>8.3f} {ms:>8.3f}")
+    # aggregate ratio
+    by = {}
+    for name, det, nkp, rep, ms in rows:
+        by.setdefault(det, []).append((rep, ms))
+    for det, vals in by.items():
+        r = np.mean([v[0] for v in vals])
+        m = np.mean([v[1] for v in vals])
+        print(f"mean {det}: repeatability {r:.3f} matching {m:.3f}")
+
+
+if __name__ == "__main__":
+    main()
