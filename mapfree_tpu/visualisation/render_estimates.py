@@ -37,10 +37,20 @@ def main(args):
             print(f"skipping {scene}: no estimates in submission")
             continue
 
+        scene_images = None
+        if not args.no_images:
+            from mapfree_tpu.data.io import imread_rgb
+
+            scene_images = {}
+            for frame_num in gt_poses:
+                p = dataset_path / scene / "seq1" / f"frame_{frame_num:05d}.jpg"
+                if p.exists():
+                    scene_images[frame_num] = imread_rgb(p)
+
         out = args.output / f"{scene}.mp4"
         n = render_scene(gt_poses, est_poses, out,
                          confidence_threshold=args.confidence_threshold,
-                         fps=args.fps)
+                         fps=args.fps, scene_images=scene_images)
         print(f"rendered {scene}: {n} frames -> {out}")
 
 
@@ -53,4 +63,7 @@ if __name__ == "__main__":
     parser.add_argument("--output", "-o", type=Path, default=Path("renders"))
     parser.add_argument("--confidence_threshold", type=float, default=0.0)
     parser.add_argument("--fps", type=int, default=5)
+    parser.add_argument("--no_images", action="store_true",
+                        help="skip loading query photos (no textured planes "
+                             "or picture-in-picture)")
     main(parser.parse_args())
