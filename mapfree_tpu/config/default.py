@@ -106,6 +106,14 @@ _CN.TRAINING.TRANS_LOSS = 'trans_l2_loss'
 _CN.TRAINING.LAMBDA = 1.0  # 0.0 -> Kendall learnable weighting
 
 ############# TPU-native extensions #############
+# In-graph monocular depth for the matching track (framework extension:
+# SURVEY.md §6 north star; the reference consumes offline DPT/PlaneRCNN pngs)
+_CN.DEPTH_NET = CN()
+_CN.DEPTH_NET.ENABLED = False
+_CN.DEPTH_NET.CHECKPOINT = ''    # orbax dir of trained depth weights
+_CN.DEPTH_NET.NUM_BLOCKS = '2-2-2'
+_CN.DEPTH_NET.MAX_DEPTH = 20.0   # metres at inverse-depth saturation
+
 _CN.TPU = CN()
 _CN.TPU.MESH_SHAPE = None       # e.g. [4] for a 4-chip data mesh; None = all devices
 _CN.TPU.MESH_AXES = ['data']    # mesh axis names

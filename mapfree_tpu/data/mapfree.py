@@ -346,6 +346,12 @@ class ConcatDataset:
         from mapfree_tpu.data.io import decode_resize_batch
 
         path_lists = [ds.image_paths(i) for ds, i in resolved]
+        # the native decoder is JPEG-only (7Scenes ships PNGs)
+        if not all(
+            p.lower().endswith((".jpg", ".jpeg"))
+            for pl in path_lists for p in pl
+        ):
+            return [ds[i] for ds, i in resolved]
         w, h = next(iter(sizes))
         uint8 = all(ds.transforms is None for ds, _ in resolved)
 

@@ -52,6 +52,7 @@ class ScanNetScene:
                 self.data_names = self.data_names[kept_mask]
 
         self.augment_fn = augment_fn if mode == "train" else None
+        self.transforms = self.augment_fn  # batch-decode protocol alias
         self.depthmaps = (
             np.load(estimated_depth) if estimated_depth is not None else None
         )
@@ -70,19 +71,34 @@ class ScanNetScene:
         pose1 = self._read_abs_pose(scene_name, name1)
         return pose1 @ np.linalg.inv(pose0)
 
-    def __getitem__(self, idx):
+    def _names(self, idx):
         scene_name, scene_sub_name, stem_name_0, stem_name_1 = self.data_names[idx]
-        scene_name = f"scene{scene_name:04d}_{scene_sub_name:02d}"
+        return f"scene{scene_name:04d}_{scene_sub_name:02d}", stem_name_0, stem_name_1
 
+    def image_paths(self, idx):
+        """Batch-decode protocol (see ConcatDataset.getitems)."""
+        scene_name, s0, s1 = self._names(idx)
         sensor = osp.join(self.root_dir, scene_name, "sensor_data")
-        image0 = read_color_image(
-            osp.join(sensor, f"frame-{stem_name_0:06}.color.jpg"),
-            resize=self.resize, augment_fn=self.augment_fn,
-        )
-        image1 = read_color_image(
-            osp.join(sensor, f"frame-{stem_name_1:06}.color.jpg"),
-            resize=self.resize, augment_fn=self.augment_fn,
-        )
+        return [osp.join(sensor, f"frame-{s0:06}.color.jpg"),
+                osp.join(sensor, f"frame-{s1:06}.color.jpg")]
+
+    def __getitem__(self, idx):
+        images = [
+            read_color_image(p, resize=self.resize)
+            for p in self.image_paths(idx)
+        ]
+        return self.getitem_decoded(idx, images)
+
+    def getitem_decoded(self, idx, images):
+        from mapfree_tpu.data.mapfree import _as_float01
+
+        scene_name, stem_name_0, stem_name_1 = self._names(idx)
+        sensor = osp.join(self.root_dir, scene_name, "sensor_data")
+
+        image0, image1 = images
+        if self.augment_fn is not None:
+            image0 = self.augment_fn(_as_float01(image0))
+            image1 = self.augment_fn(_as_float01(image1))
 
         if self.mode == "test":
             if self.depthmaps is None:

@@ -1,0 +1,111 @@
+"""In-graph monocular depth for the matching track.
+
+The reference consumes OFFLINE monocular depth (DPT/PlaneRCNN pngs produced
+outside the repo, reference README.md:325-339 and
+lib/datasets/mapfree.py depth suffixes); SURVEY.md §6's north star asks the
+TPU framework to additionally run a depth net *in the same device program*
+as the solvers, removing the offline step and the depth png IO entirely.
+
+``MonoDepthNet`` is a ResUNet-backbone dense-prediction model (same encoder
+family as the RPR track, so blocks/converter conventions are shared): stem
+-> 3 residual stages -> skip-concat decoder back to full resolution -> 1x1
+head predicting inverse depth; metric depth = MAX_DEPTH * sigmoid(idepth).
+Weights come from DEPTH_NET.CHECKPOINT (orbax, trained elsewhere); with no
+checkpoint the net runs randomly initialised — enough to exercise the full
+in-graph pipeline, and the contract for dropping in trained weights.
+
+Enable with::
+
+    DEPTH_NET:
+      ENABLED: true
+      CHECKPOINT: weights/depth    # optional orbax dir
+
+FeatureMatchingModel then predicts depth0/depth1 from the batch images in
+one jitted dispatch instead of reading ``*.dpt*.png`` files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mapfree_tpu.models.blocks import ConvBnElu, PreActBlock, UpConv
+from mapfree_tpu.models.encoders import _Stage, _skip_concat
+
+
+class MonoDepthNet(nn.Module):
+    """Dense inverse-depth prediction, full-resolution output [B, H, W]."""
+
+    num_blocks: tuple = (2, 2, 2)
+    max_depth: float = 20.0
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+        x = images.astype(self.dtype) * scale
+
+        # stem to H/2 (kept shallow: depth needs resolution more than depth)
+        x1 = ConvBnElu(32, 7, 2, dtype=self.dtype, name="stem")(x, train)
+
+        x2 = _Stage(PreActBlock, 64, self.num_blocks[0], 2, self.dtype,
+                    name="stage1")(x1, train)   # H/4
+        x3 = _Stage(PreActBlock, 128, self.num_blocks[1], 2, self.dtype,
+                    name="stage2")(x2, train)   # H/8
+        x4 = _Stage(PreActBlock, 256, self.num_blocks[2], 2, self.dtype,
+                    name="stage3")(x3, train)   # H/16
+
+        y = UpConv(128, 3, 2, dtype=self.dtype, name="up3")(x4, train)
+        y = ConvBnElu(128, 3, 1, dtype=self.dtype, name="i3")(
+            _skip_concat(y, x3), train)
+        y = UpConv(64, 3, 2, dtype=self.dtype, name="up2")(y, train)
+        y = ConvBnElu(64, 3, 1, dtype=self.dtype, name="i2")(
+            _skip_concat(y, x2), train)
+        y = UpConv(32, 3, 2, dtype=self.dtype, name="up1")(y, train)
+        y = ConvBnElu(32, 3, 1, dtype=self.dtype, name="i1")(
+            _skip_concat(y, x1), train)
+        y = UpConv(16, 3, 2, dtype=self.dtype, name="up0")(y, train)
+
+        logit = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head")(
+            y.astype(jnp.float32))
+        # inverse-depth in (0, 1) -> metric depth in (~max_depth, inf) capped
+        inv = jax.nn.sigmoid(logit[..., 0])
+        depth = self.max_depth * inv
+        # match the input resolution exactly (odd sizes round through /16)
+        B, H, W = images.shape[:3]
+        if depth.shape[1:] != (H, W):
+            depth = jax.image.resize(depth, (B, H, W), "bilinear")
+        return depth
+
+
+class DepthPredictor:
+    """Jitted batched depth inference for the matching pipeline."""
+
+    def __init__(self, cfg):
+        dcfg = cfg.DEPTH_NET
+        blocks = tuple(int(b) for b in str(dcfg.NUM_BLOCKS).split("-"))
+        dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+                 else jnp.float32)
+        self.net = MonoDepthNet(num_blocks=blocks,
+                                max_depth=float(dcfg.MAX_DEPTH), dtype=dtype)
+        H, W = cfg.DATASET.HEIGHT, cfg.DATASET.WIDTH
+        dummy = jnp.zeros((1, H, W, 3), jnp.float32)
+        if dcfg.CHECKPOINT:
+            import orbax.checkpoint as ocp
+
+            abstract = jax.eval_shape(
+                lambda: self.net.init(jax.random.PRNGKey(0), dummy))
+            self.variables = ocp.StandardCheckpointer().restore(
+                dcfg.CHECKPOINT, abstract)
+        else:
+            self.variables = self.net.init(jax.random.PRNGKey(0), dummy)
+
+        self._predict = jax.jit(
+            lambda imgs: self.net.apply(self.variables, imgs, train=False))
+
+    def __call__(self, images) -> jnp.ndarray:
+        """images: [B, H, W, 3] float [0,1] or uint8 -> depth [B, H, W] f32."""
+        return self._predict(jnp.asarray(np.asarray(images)))

@@ -212,6 +212,12 @@ class FeatureMatchingModel:
         self.n_iters = int(cfg.TPU.RANSAC_ITERATIONS)
         self._step = 0
 
+        self.depth_net = None
+        if bool(cfg.DEPTH_NET.ENABLED):
+            from mapfree_tpu.models.depth import DepthPredictor
+
+            self.depth_net = DepthPredictor(cfg)
+
     def __call__(self, batch):
         """batch: collated dict with numpy arrays. Returns (R [B,3,3],
         t [B,1,3], inliers [B]) numpy; NaN pose where estimation failed."""
@@ -228,11 +234,15 @@ class FeatureMatchingModel:
         maskj = jnp.asarray(mask)
 
         def depth(key_):
+            if self.depth_net is not None:
+                # in-graph depth from the batch images (one dispatch per view)
+                return self.depth_net(batch["image0" if key_ == "depth0"
+                                            else "image1"])
             d = batch[key_]
             if d.ndim != 3 or d.shape[-1] == 0:
                 raise ValueError(
                     f"solver {self.solver} requires depth maps; set "
-                    "DATASET.ESTIMATED_DEPTH"
+                    "DATASET.ESTIMATED_DEPTH or DEPTH_NET.ENABLED"
                 )
             return jnp.asarray(d)
 
@@ -263,16 +273,18 @@ class FeatureMatchingModel:
             R, t, inl = out["R"], out["t"], out["inliers"]
         else:  # Procrustes
             refine = bool(cfg.PROCRUSTES.REFINE)
+            d0 = depth("depth0")
+            d1 = depth("depth1")
             kwargs = {}
             if refine:
+                d0_np, d1_np = np.asarray(d0), np.asarray(d1)
                 clouds0, masks0, clouds1, masks1 = [], [], [], []
                 for i in range(B):
                     c0, mm0 = dense_cloud_from_depth(
-                        np.asarray(batch["depth0"][i]),
-                        np.asarray(batch["K_color0"][i]), 4096, seed=i)
+                        d0_np[i], np.asarray(batch["K_color0"][i]), 4096, seed=i)
                     c1, mm1 = dense_cloud_from_depth(
-                        np.asarray(batch["depth1"][i]),
-                        np.asarray(batch["K_color1"][i]), 4096, seed=i + 1)
+                        d1_np[i], np.asarray(batch["K_color1"][i]), 4096,
+                        seed=i + 1)
                     clouds0.append(c0); masks0.append(mm0)
                     clouds1.append(c1); masks1.append(mm1)
                 kwargs = dict(
@@ -282,7 +294,7 @@ class FeatureMatchingModel:
                     icp_mask1=jnp.asarray(np.stack(masks1)),
                 )
             out = procrustes_pose(
-                key, pts0, pts1, maskj, depth("depth0"), depth("depth1"),
+                key, pts0, pts1, maskj, d0, d1,
                 K0, K1, float(cfg.PROCRUSTES.MAX_CORR_DIST),
                 n_iters=self.n_iters, refine=refine, **kwargs,
             )

@@ -175,6 +175,15 @@ def main():
                      matching_cfg(m, s,
                                   f"{{scene_root}}/correspondences_{MATCHERS[m]}.npz",
                                   d))
+    # framework extension: depth predicted IN-GRAPH (no offline depth pngs;
+    # SURVEY.md §6 north star) for the metric-scale solvers
+    for m in ("sift", "sg", "loftr"):
+        c = matching_cfg(
+            m, "emat", f"{{scene_root}}/correspondences_{MATCHERS[m]}.npz",
+            "None")
+        c["DEPTH_NET"] = {"ENABLED": True}
+        dump(f"matching/mapfree/{m}_emat_ingraph.yaml", c)
+
     dump("matching/mapfree/sg_procrustes_dptkitti.yaml",
          matching_cfg("sg", "procrustes",
                       "{scene_root}/correspondences_SG.npz", "dptkitti"))
