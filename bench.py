@@ -87,29 +87,33 @@ def bench_model_only(cfg, batch_sizes=(8, 16, 32)):
 
     best = (0.0, 0)
     for B in batch_sizes:
-        image0 = jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32)
-        image1 = jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32)
+        # rotate through distinct input buffers AND chain a carry: the remote
+        # tunnel memoizes repeated identical dispatches, and plain
+        # block_until_ready under-measures (docs/NOTES.md gotchas)
+        images = [
+            jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32)
+            for _ in range(3)
+        ]
         variables = jax.jit(net.init, static_argnums=(3,))(
-            jax.random.PRNGKey(0), image0, image1, False
+            jax.random.PRNGKey(0), images[0], images[1], False
         )
 
         @jax.jit
         def step(carry, image0, image1):
-            # chain iterations through a data dependency so remote/async
-            # backends cannot cache or pipeline away the measured work
             R, t, _ = net.apply(
-                variables, image0 + carry * 1e-6, image1, train=False
+                variables, image0 + carry * 1e-6, image1 + carry * 1e-7,
+                train=False,
             )
-            return jnp.sum(R) + jnp.sum(t)
+            return carry + jnp.sum(R) + jnp.sum(t)
 
         carry = jnp.float32(0.0)
-        carry = step(carry, image0, image1)
+        carry = step(carry, images[0], images[1])
         float(carry)  # warmup/compile; host read fences remote execution
 
         n_iters = max(4, 160 // B)
         start = time.perf_counter()
-        for _ in range(n_iters):
-            carry = step(carry, image0, image1)
+        for i in range(n_iters):
+            carry = step(carry, images[i % 3], images[(i + 1) % 3])
         float(carry)
         elapsed = time.perf_counter() - start
         pps = (B * n_iters) / elapsed

@@ -36,59 +36,53 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, hw: int, col_chunk: int,
-            n_chunks: int):
-    """One (batch, row-block) program, online softmax over column chunks.
+def _kernel(q_ref, k_ref, v_ref, out_ref, m_s, d_s, acc_s, *, hw: int,
+            col_chunk: int, n_chunks: int):
+    """One (batch, row-block, key-chunk) program — flash-attention layout.
 
-    q_ref: [1, rM, Cq] query rows; k_ref: [1, HWp, Cq] all keys;
-    v_ref: [1, HWp, Cv] values (features | uv grid);
-    out_ref: [1, rM, Cv + 1] -> [warped+position | max-score].
-
-    The [rM, HWp] score slab is the kernel's VMEM hog (Mosaic stack-allocates
-    temporaries against a 16 MB scoped limit); chunking the key axis with a
-    running (max, denom, accumulator) keeps the slab at [rM, col_chunk]
-    regardless of HW — flash-attention-style, exact to fp rounding.
+    q_ref: [1, rM, Cq] query rows (resident across the key-chunk axis);
+    k_ref/v_ref: [1, cK, C] this key chunk; out_ref: [1, rM, Cv + 1]
+    (written on the final chunk). Running softmax state (max, denom,
+    accumulator) lives in VMEM scratch, which persists across the
+    sequentially-iterated chunk axis. Every block is small, so the kernel
+    fits the 16 MB scoped-VMEM limit at ANY image resolution and batch size
+    (Mosaic stack-allocates all temporaries and multi-buffers whole-HW
+    operand blocks — the single-program-per-row variant OOMed at 540x720).
     """
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _NEG_INF)
+        d_s[...] = jnp.zeros_like(d_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
     q = q_ref[0]
-    rm = q.shape[0]
-    cv = v_ref.shape[-1]
+    s = jax.lax.dot_general(
+        q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rM, cK]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * col_chunk
+    s = jnp.where(col < hw, s, _NEG_INF)
 
-    def chunk(c, carry):
-        m, d, acc = carry
-        k_c = k_ref[0, pl.ds(c * col_chunk, col_chunk), :]
-        v_c = v_ref[0, pl.ds(c * col_chunk, col_chunk), :]
-        s = jax.lax.dot_general(
-            q, k_c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [rM, col_chunk]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * col_chunk
-        s = jnp.where(col < hw, s, _NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        d = d * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v_c.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, d, acc
-
-    init = (
-        jnp.full((rm, 1), _NEG_INF, jnp.float32),
-        jnp.zeros((rm, 1), jnp.float32),
-        jnp.zeros((rm, cv), jnp.float32),
+    m_prev = m_s[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    m_s[...] = m_new
+    d_s[...] = d_s[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    if n_chunks == 1:
-        _, denom, acc = chunk(0, init)
-    else:
-        _, denom, acc = jax.lax.fori_loop(0, n_chunks, chunk, init)
 
-    inv_d = 1.0 / denom
-    out_ref[0, :, :-1] = acc * inv_d
-    # peak softmax probability: exp(s_max - m_final) / d == 1 / d
-    out_ref[0, :, -1:] = inv_d
+    @pl.when(c == n_chunks - 1)
+    def _():
+        inv_d = 1.0 / d_s[...]
+        out_ref[0, :, :-1] = acc_s[...] * inv_d
+        # peak softmax probability: exp(s_max - m_final) / d == 1 / d
+        out_ref[0, :, -1:] = inv_d
 
 
 def _bwd_rows_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref,
@@ -186,9 +180,9 @@ def _bwd_cols_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref, stats_ref,
         dv_ref[0] += dv_update
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
-                           row_block: int = 256):
+                           row_block: int = 256, key_chunk: int = 2048):
     """Softmax cross-view warp without materialising the correlation volume.
 
     Args:
@@ -203,15 +197,13 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
     rM = row_block
-    # single column chunk (no fori_loop) while the [rM, chunk] f32 score slab
-    # fits a ~3 MB budget (×2: Mosaic keeps both s and exp(s)); larger HW
-    # streams the key axis in 2048-column chunks
-    slab_budget = 3 * 1024 * 1024
-    if _round_up(HW, rM) * rM * 4 <= slab_budget:
+    # one key chunk while that keeps the padding small; larger HW streams
+    # the key axis in 2048-column chunks (VMEM stays ~4 MB either way)
+    if _round_up(HW, rM) <= key_chunk:
         HWp = _round_up(HW, rM)
         col_chunk, n_chunks = HWp, 1
     else:
-        col_chunk = 2048
+        col_chunk = key_chunk
         HWp = _round_up(HW, max(rM, col_chunk))
         n_chunks = HWp // col_chunk
 
@@ -227,18 +219,23 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
 
     out = pl.pallas_call(
         partial(_kernel, hw=HW, col_chunk=col_chunk, n_chunks=n_chunks),
-        grid=(B, HWp // rM),
+        grid=(B, HWp // rM, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, rM, Cq), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, rM, Cq), lambda b, i, c: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HWp, Cq), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, col_chunk, Cq), lambda b, i, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HWp, Cv + 2), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, col_chunk, Cv + 2), lambda b, i, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rM, Cv + 3), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, rM, Cv + 3), lambda b, i, c: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HWp, Cv + 3), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rM, 1), jnp.float32),       # running max
+            pltpu.VMEM((rM, 1), jnp.float32),       # running denom
+            pltpu.VMEM((rM, Cv + 2), jnp.float32),  # running accumulator
+        ],
         interpret=interpret,
     )(qp, kp, vp)
 
@@ -249,12 +246,12 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
     return warped, pos, max_score
 
 
-def _fcw_fwd(q, k, v, grid, interpret, row_block):
-    out = fused_correlation_warp(q, k, v, grid, interpret, row_block)
+def _fcw_fwd(q, k, v, grid, interpret, row_block, key_chunk):
+    out = fused_correlation_warp(q, k, v, grid, interpret, row_block, key_chunk)
     return out, (q, k, v, grid)
 
 
-def _fcw_bwd(interpret, row_block, residuals, cotangents):
+def _fcw_bwd(interpret, row_block, key_chunk, residuals, cotangents):
     q, k, v, grid = residuals
     d_warped, d_pos, d_ms = cotangents
 

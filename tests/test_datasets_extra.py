@@ -133,6 +133,28 @@ class TestScanNet:
         assert np.allclose(s["T_0to1"] @ s["T_1to0"], np.eye(4), atol=1e-5)
         assert s["dataset_name"] == "ScanNet"
 
+    def test_batch_decode_matches_getitem(self, tmp_path):
+        """ScanNet speaks the batch-decode protocol: getitems == per-item
+        decode (rounding aside)."""
+        make_scannet_scene(tmp_path)
+        c = default_cfg.clone()
+        c.DATASET.DATA_SOURCE = "ScanNet"
+        c.DATASET.DATA_ROOT = str(tmp_path)
+        c.DATASET.NPZ_ROOT = str(tmp_path / "indices")
+        c.DATASET.MIN_OVERLAP_SCORE = 0.0
+        c.DATASET.HEIGHT = H
+        c.DATASET.WIDTH = W
+        ds = ScanNetDataset(c, "test")
+        batch = ds.getitems([0, 2])
+
+        def f01(x):
+            return x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+
+        for sample, i in zip(batch, [0, 2]):
+            ref = ds[i]
+            assert np.abs(f01(sample["image0"]) - f01(ref["image0"])).max() < 0.02
+            np.testing.assert_allclose(sample["T_0to1"], ref["T_0to1"])
+
     def test_relative_pose_from_c2w_files(self, tmp_path):
         poses = make_scannet_scene(tmp_path)
         c = default_cfg.clone()
