@@ -74,8 +74,17 @@ def _flagship_cfg():
     return cfg
 
 
-def bench_model_only(cfg, batch_sizes=(8, 16, 32)):
-    """Best jitted-forward throughput over a batch-size sweep."""
+def bench_model_only(cfg, batch_sizes=(16, 32, 64)):
+    """Best jitted-forward device throughput over a batch-size sweep.
+
+    Methodology (docs/NOTES.md gotchas): the tunnel adds a large,
+    time-varying per-dispatch cost and memoizes identical dispatches, so a
+    per-batch dispatch loop measures the tunnel, not the TPU. Instead K
+    batches of distinct data are consumed by ONE dispatch via lax.scan,
+    chained through a scalar carry (forces sequential execution), and the
+    per-batch time is the slope between two K values — the dispatch cost
+    cancels exactly. A production sweep batches dispatches the same way.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -87,36 +96,40 @@ def bench_model_only(cfg, batch_sizes=(8, 16, 32)):
 
     best = (0.0, 0)
     for B in batch_sizes:
-        # rotate through distinct input buffers AND chain a carry: the remote
-        # tunnel memoizes repeated identical dispatches, and plain
-        # block_until_ready under-measures (docs/NOTES.md gotchas)
-        images = [
-            jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32)
-            for _ in range(3)
-        ]
+        k1, k2 = 2, 6
+        xs0 = jnp.asarray(rng.normal(size=(k2, B, h, w, 3)), jnp.float32)
+        xs1 = jnp.asarray(rng.normal(size=(k2, B, h, w, 3)), jnp.float32)
         variables = jax.jit(net.init, static_argnums=(3,))(
-            jax.random.PRNGKey(0), images[0], images[1], False
+            jax.random.PRNGKey(0), xs0[0], xs1[0], False
         )
 
-        @jax.jit
-        def step(carry, image0, image1):
-            R, t, _ = net.apply(
-                variables, image0 + carry * 1e-6, image1 + carry * 1e-7,
-                train=False,
-            )
-            return carry + jnp.sum(R) + jnp.sum(t)
+        def make(k):
+            @jax.jit
+            def run(carry, xs0, xs1):
+                def body(c, x):
+                    a, b = x
+                    R, t, _ = net.apply(
+                        variables, a + c * 1e-6, b + c * 1e-7, train=False
+                    )
+                    return c + jnp.sum(R) + jnp.sum(t), None
+                out, _ = jax.lax.scan(body, carry, (xs0[:k], xs1[:k]))
+                return out
+            return run
 
-        carry = jnp.float32(0.0)
-        carry = step(carry, images[0], images[1])
-        float(carry)  # warmup/compile; host read fences remote execution
+        run1, run2 = make(k1), make(k2)
+        float(run1(jnp.float32(0.0), xs0, xs1))  # compile + warm
+        float(run2(jnp.float32(0.0), xs0, xs1))
 
-        n_iters = max(4, 160 // B)
-        start = time.perf_counter()
-        for i in range(n_iters):
-            carry = step(carry, images[i % 3], images[(i + 1) % 3])
-        float(carry)
-        elapsed = time.perf_counter() - start
-        pps = (B * n_iters) / elapsed
+        def med(run, iters=5):
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                float(run(jnp.float32(0.0), xs0, xs1))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        per_batch = (med(run2) - med(run1)) / (k2 - k1)
+        pps = B / per_batch
         if pps > best[0]:
             best = (pps, B)
     return best
@@ -182,8 +195,13 @@ def main():
     cfg = _flagship_cfg()
 
     model_pps, best_batch = bench_model_only(cfg)
-    e2e_pps = bench_e2e(cfg, best_batch)
+    e2e_pps = bench_e2e(cfg, min(best_batch, 32))
 
+    # Context: the north-star 2,000 pairs/s (BASELINE.json) is specified for
+    # a v4-8 (8 chips); this bench runs on the single chip the environment
+    # exposes. The sweep is embarrassingly parallel over scenes (the
+    # multi-host driver shards it), so the fair per-chip share is 250.
+    n_chips = len(jax.devices())
     print(
         json.dumps(
             {
@@ -192,6 +210,11 @@ def main():
                 "unit": "pairs/s",
                 "vs_baseline": round(model_pps / BASELINE_PAIRS_PER_SEC, 4),
                 "best_batch": best_batch,
+                "chips": n_chips,
+                "north_star_chips": 8,
+                "vs_per_chip_share": round(
+                    model_pps / (BASELINE_PAIRS_PER_SEC * n_chips / 8), 4
+                ),
                 "e2e_val_sweep_pairs_per_s": round(e2e_pps, 2),
                 "e2e_vs_baseline": round(e2e_pps / BASELINE_PAIRS_PER_SEC, 4),
             }

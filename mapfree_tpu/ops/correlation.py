@@ -182,7 +182,7 @@ def _bwd_cols_kernel(q_ref, k_ref, v_ref, dmain_ref, ds_ref, stats_ref,
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
-                           row_block: int = 256, key_chunk: int = 2048):
+                           row_block: int = 256, key_chunk: int = 6144):
     """Softmax cross-view warp without materialising the correlation volume.
 
     Args:
@@ -197,15 +197,19 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
     rM = row_block
-    # one key chunk while that keeps the padding small; larger HW streams
-    # the key axis in 2048-column chunks (VMEM stays ~4 MB either way)
-    if _round_up(HW, rM) <= key_chunk:
-        HWp = _round_up(HW, rM)
+    # Chunking: fewer, larger key chunks are faster (less running-softmax
+    # rescale traffic; measured 4.6 vs 5.4 ms at HW=6120/B=32 for one 6144
+    # chunk vs three 2048 chunks), but the key axis must stay under the VMEM
+    # budget, so cap the chunk at `key_chunk` and pick the chunk count that
+    # minimises padding (HWp is a multiple of both rM and col_chunk).
+    HWp0 = _round_up(HW, rM)
+    if HWp0 <= key_chunk:
+        HWp = HWp0
         col_chunk, n_chunks = HWp, 1
     else:
-        col_chunk = key_chunk
-        HWp = _round_up(HW, max(rM, col_chunk))
-        n_chunks = HWp // col_chunk
+        n_chunks = -(-HWp0 // key_chunk)
+        col_chunk = _round_up(-(-HWp0 // n_chunks), rM)
+        HWp = col_chunk * n_chunks
 
     pad_rows = HWp - HW
     qp = jnp.pad(q, ((0, 0), (0, pad_rows), (0, 0)))
