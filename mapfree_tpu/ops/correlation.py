@@ -31,6 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Backward tile sizes (row-pass block, col-pass column block, col-pass row
+# chunk). Row-pass VMEM: ~6 [rM, HWp] f32 temporaries, so rM is capped by
+# HWp (rM=64 fits HW≈6k in 16 MB); col-pass HBM traffic scales with HWp/cN
+# re-reads of each row chunk, so cN/r_chunk as large as VMEM allows. Swept
+# on a v5-lite at HW=6120/B=16 (scan-slope): (64,512,1024) = 11.0 ms vs
+# 16.3 ms for (64,128,512); (64,1024,1024) is marginally faster standalone
+# but overflows scoped VMEM by 288 kB inside the full training graph.
+BWD_TILES = (64, 512, 1024)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -262,10 +271,12 @@ def _fcw_bwd(interpret, row_block, key_chunk, residuals, cotangents):
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
     # Mosaic stack-allocates every temporary, so tile sizes are set by the
-    # VMEM budget (16 MB), not MXU preference
-    rM = 64        # row-pass block: several [rM, HWp] f32 intermediates
-    cN = 128       # col-pass column block
-    r_chunk = 512  # col-pass row chunk: [cN, r_chunk] tiles
+    # VMEM budget (16 MB), not MXU preference; cap blocks at the padded
+    # problem size so small inputs don't tile up to the sweep optimum
+    rM, cN, r_chunk = BWD_TILES
+    hw_cap = _round_up(HW, rM)
+    cN = min(cN, hw_cap)
+    r_chunk = min(r_chunk, hw_cap)
     HWp = _round_up(HW, max(rM, cN, r_chunk))
     pad = HWp - HW
 
