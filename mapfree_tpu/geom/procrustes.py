@@ -11,9 +11,29 @@ in a fixed-shape RANSAC without NaN leakage.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+def _f32_matmuls(fn):
+    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
+    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
+    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
+    an EXACT essential matrix came back with up to 4.4 deg of rotation
+    error). The solver FLOPs are trivial, so full precision is free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+from mapfree_tpu.geom.smallblas import svd3
+
+
+@_f32_matmuls
 def procrustes(A, B, weights=None):
     """Find R, t minimising || (A @ R^T + t) - B || over rigid transforms.
 
@@ -40,7 +60,7 @@ def procrustes(A, B, weights=None):
         B_c = B - b_mean
         H = jnp.swapaxes(A_c, -1, -2) @ B_c
 
-    U, S, Vt = jnp.linalg.svd(H)
+    U, S, Vt = svd3(H)
     V = jnp.swapaxes(Vt, -1, -2)
     det = jnp.linalg.det(U @ Vt)
     # fix orientation so det(R) = +1: R = V @ diag(1, 1, sign) @ U^T

@@ -1,0 +1,212 @@
+"""Batched small-matrix factorizations that are fast on TPU.
+
+XLA's general-purpose `eigh`/`svd` lowerings are iterative algorithms with
+heavy control flow; on a v5-lite chip, `eigh` of [8192, 9, 9] measures
+111 ms and `svd` of [8192, 3, 3] 37 ms (docs/NOTES.md) — they dominate the
+batched RANSAC solvers, where every hypothesis needs a nullspace vector and
+an essential-manifold projection. The replacements here are straight-line
+arithmetic (Cholesky solves, Givens rotations), fully batched, and
+differentiable:
+
+- :func:`smallest_eigvecs`: the k eigenvectors of smallest eigenvalue of a
+  symmetric PSD matrix by shifted block inverse iteration (Cholesky solve +
+  modified Gram-Schmidt). 13x faster than `eigh` at [8192, 9, 9].
+- :func:`svd3`: full SVD of 3x3 matrices by fixed-sweep one-sided Jacobi.
+
+Exactness: inverse iteration converges geometrically with ratio
+(lam_min + shift) / (lam_next + shift); for RANSAC nullspaces and
+least-squares refits (lam_min orders of magnitude under the data spread) a
+handful of iterations reaches f32 precision. It is NOT a general eigh: on a
+near-spherical spectrum (lam_min ~ lam_next, e.g. i.i.d. random matrices)
+the iterate may land anywhere in the bottom subspace — acceptable for
+RANSAC (such hypotheses score badly and lose), wrong for general use.
+One-sided Jacobi converges quadratically; the default sweep counts give
+~1e-6 max reconstruction error on random matrices (tests/test_smallblas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _mgs(X):
+    """Modified Gram-Schmidt orthonormalisation of [..., n, k] columns."""
+    cols = []
+    k = X.shape[-1]
+    for i in range(k):
+        v = X[..., i]
+        for u in cols:
+            v = v - jnp.sum(u * v, axis=-1, keepdims=True) * u
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+        cols.append(v)
+    return jnp.stack(cols, axis=-1)
+
+
+def smallest_eigvecs(M, k: int = 1, iters: int = 6, shift: float = 1e-6):
+    """Orthonormal basis of the k smallest-eigenvalue directions of PSD M.
+
+    Args:
+        M: [..., n, n] symmetric positive semi-definite.
+        k: subspace dimension.
+        iters: inverse-iteration steps.
+        shift: Tikhonov shift as a fraction of trace(M) (keeps the Cholesky
+            well-posed when M is exactly singular — the usual case for
+            minimal-sample nullspaces).
+    Returns:
+        [..., n, k] orthonormal columns spanning the smallest-eigenvalue
+        subspace (for a nullspace of dimension k, its exact span).
+    """
+    n = M.shape[-1]
+    tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    Mr = M + (shift * tr + 1e-30) * jnp.eye(n, dtype=M.dtype)
+    L = jnp.linalg.cholesky(Mr)
+    # deterministic full-rank start: last k identity columns + a bit of the
+    # first rows so no target direction is exactly orthogonal to the start
+    X0 = jnp.eye(n, k, dtype=M.dtype)[::-1]
+    X = jnp.broadcast_to(X0, M.shape[:-2] + (n, k))
+    for _ in range(iters):
+        Y = jax.scipy.linalg.cho_solve((L, True), X)
+        X = _mgs(Y)
+    return X
+
+
+def smallest_eigvec(M, iters: int = 6, shift: float = 1e-6):
+    """[..., n] eigenvector of the smallest eigenvalue of PSD M."""
+    return smallest_eigvecs(M, 1, iters, shift)[..., 0]
+
+
+def det_small(A):
+    """Batched determinant by unrolled Householder QR — no pivoting, no
+    dynamic control flow. `jnp.linalg.det`'s pivoted LU measures ~2.6 us per
+    [10, 10] matrix on a v5-lite (880k of them made the 5-point solver 99%
+    of the essential pipeline); this is straight-line batched arithmetic.
+
+    Householder with alpha = -sign(a0)*||a|| is unconditionally stable; each
+    active reflection contributes det -1. A: [..., n, n], static n.
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    R = A
+    det_sign = jnp.ones(A.shape[:-2], dtype)
+    for k in range(n - 1):
+        a = R[..., k:, k]  # [..., m]
+        norm = jnp.linalg.norm(a, axis=-1)
+        a0 = a[..., 0]
+        sgn = jnp.where(a0 >= 0, 1.0, -1.0).astype(dtype)
+        e1 = jnp.zeros_like(a).at[..., 0].set(1.0)
+        v = a + (sgn * norm)[..., None] * e1
+        vnorm2 = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-38)
+        active = norm > 1e-30
+        sub = R[..., k:, k:]
+        w = jnp.einsum("...m,...mn->...n", v, sub)
+        sub_new = sub - (2.0 / vnorm2)[..., None, None] * (
+            v[..., :, None] * w[..., None, :]
+        )
+        sub = jnp.where(active[..., None, None], sub_new, sub)
+        R = R.at[..., k:, k:].set(sub)
+        det_sign = det_sign * jnp.where(active, -1.0, 1.0).astype(dtype)
+    diag = jnp.diagonal(R, axis1=-2, axis2=-1)
+    return det_sign * jnp.prod(diag, axis=-1)
+
+
+def det3(A):
+    """Closed-form determinant of [..., 3, 3] (scalar triple product)."""
+    return jnp.sum(
+        A[..., 0, :] * jnp.cross(A[..., 1, :], A[..., 2, :]), axis=-1
+    )
+
+
+def _jacobi_rotation(a_pp, a_qq, a_pq):
+    """Branch-free Givens (c, s) zeroing the (p, q) off-diagonal entry."""
+    gamma_safe = jnp.where(jnp.abs(a_pq) < 1e-30,
+                           jnp.asarray(1e-30, a_pq.dtype), a_pq)
+    zeta = (a_qq - a_pp) / (2.0 * gamma_safe)
+    t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    t = jnp.where(jnp.abs(a_pq) < 1e-30, jnp.zeros_like(t), t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    return c, c * t
+
+
+def _complete_orthonormal(U, S):
+    """Replace the near-zero-singular-value columns of U (zero vectors after
+    B / S normalisation) with an orthonormal completion, matching LAPACK's
+    behaviour on rank-deficient input. Branchless; [..., 3, 3] only."""
+    tol = 1e-5 * jnp.maximum(S[..., :1], 1e-30)  # relative to largest
+
+    ex = jnp.zeros_like(U[..., 0]).at[..., 0].set(1.0)
+    ey = jnp.zeros_like(U[..., 0]).at[..., 1].set(1.0)
+    ez = jnp.zeros_like(U[..., 0]).at[..., 2].set(1.0)
+
+    c0 = jnp.where((S[..., 0:1] > tol), U[..., 0], ex)
+    c0 = c0 / jnp.linalg.norm(c0, axis=-1, keepdims=True)
+
+    fallback = jnp.where(jnp.abs(c0[..., 1:2]) < 0.9, ey, ez)
+    c1 = jnp.where((S[..., 1:2] > tol), U[..., 1], fallback)
+    c1 = c1 - jnp.sum(c0 * c1, axis=-1, keepdims=True) * c0
+    c1 = c1 / jnp.maximum(jnp.linalg.norm(c1, axis=-1, keepdims=True), 1e-30)
+
+    c2_new = jnp.cross(c0, c1)
+    c2 = jnp.where((S[..., 2:3] > tol), U[..., 2], c2_new)
+    c2 = c2 / jnp.maximum(jnp.linalg.norm(c2, axis=-1, keepdims=True), 1e-30)
+
+    return jnp.stack([c0, c1, c2], axis=-1)
+
+
+def svd3(A, sweeps: int = 8):
+    """SVD of [..., 3, 3] matrices by one-sided Jacobi with fixed sweeps.
+
+    Returns (U, S, Vt) with A = U @ diag(S) @ Vt, S descending and
+    non-negative, U/V orthogonal (not necessarily proper rotations — same
+    contract as jnp.linalg.svd). Straight-line arithmetic: ~25x faster than
+    XLA's svd at [8192, 3, 3] and differentiable through the iterations.
+    """
+    B = A
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            bp = B[..., :, p]
+            bq = B[..., :, q]
+            alpha = jnp.sum(bp * bp, axis=-1)
+            beta = jnp.sum(bq * bq, axis=-1)
+            gamma = jnp.sum(bp * bq, axis=-1)
+            c, s = _jacobi_rotation(alpha, beta, gamma)
+            c = c[..., None]
+            s = s[..., None]
+            new_p = c * bp - s * bq
+            new_q = s * bp + c * bq
+            vp = V[..., :, p]
+            vq = V[..., :, q]
+            new_vp = c * vp - s * vq
+            new_vq = s * vp + c * vq
+            idx = jnp.arange(3)
+            B = jnp.where(idx == p, new_p[..., None], B)
+            B = jnp.where(idx == q, new_q[..., None], B)
+            V = jnp.where(idx == p, new_vp[..., None], V)
+            V = jnp.where(idx == q, new_vq[..., None], V)
+
+    S = jnp.linalg.norm(B, axis=-2)  # [..., 3]
+    U = B / jnp.maximum(S[..., None, :], 1e-30)
+
+    # sort singular values descending (3 elements: explicit compare-swap net)
+    def cswap(S, U, V, i, j):
+        swap = S[..., i] < S[..., j]
+        idx = jnp.arange(3)
+        order = jnp.where(
+            swap[..., None],
+            jnp.where(idx == i, j, jnp.where(idx == j, i, idx)),
+            idx,
+        )
+        Sn = jnp.take_along_axis(S, order, axis=-1)
+        Un = jnp.take_along_axis(U, order[..., None, :], axis=-1)
+        Vn = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+        return Sn, Un, Vn
+
+    S, U, V = cswap(S, U, V, 0, 1)
+    S, U, V = cswap(S, U, V, 0, 2)
+    S, U, V = cswap(S, U, V, 1, 2)
+    # after the descending sort, rank-deficient columns are a suffix — the
+    # completion never touches a column carrying a nonzero singular value
+    U = _complete_orthonormal(U, S)
+    return U, S, jnp.swapaxes(V, -1, -2)

@@ -23,12 +23,30 @@ import jax.numpy as jnp
 
 import numpy as np
 
+from mapfree_tpu.geom.smallblas import (det3, det_small, smallest_eigvec,
+                                        smallest_eigvecs, svd3)
 from mapfree_tpu.ops.ransac import (
     inlier_mask,
     magsac_score,
     masked_sample_indices,
     msac_score,
 )
+
+
+def _f32_matmuls(fn):
+    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
+    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
+    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
+    an EXACT essential matrix came back with up to 4.4 deg of rotation
+    error). The solver FLOPs are trivial, so full precision is free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
 
 
 def normalize_keypoints(kpts, K):
@@ -55,13 +73,13 @@ def _eight_point(x0, x1, w):
         [u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1
     )  # [M, 9]
     A = A * w[:, None]
-    # nullspace via eigh of A^T A (9x9, symmetric PSD) — cheaper and more
-    # vmap-friendly than SVD of [M, 9]
-    _, V = jnp.linalg.eigh(A.T @ A)
-    e = V[:, 0]  # eigenvector of smallest eigenvalue
+    # nullspace via shifted inverse iteration on A^T A (9x9 PSD): XLA's
+    # eigh measures 111 ms for [8192, 9, 9] on a v5-lite, the Cholesky
+    # iteration 8 ms (geom/smallblas.py)
+    e = smallest_eigvec(A.T @ A)
     E = e.reshape(3, 3)
     # project to essential manifold: singular values -> (s, s, 0)
-    U, S, Vt = jnp.linalg.svd(E)
+    U, S, Vt = svd3(E)
     s = (S[0] + S[1]) / 2.0
     return (U * jnp.asarray([s, s, 0.0])) @ Vt
 
@@ -107,7 +125,7 @@ del _rng
 
 _MAX_ROOTS = 10
 _GRID = 129  # theta samples for sign-change isolation
-_BISECT_ITERS = 30
+_SUBDIV_ROUNDS = 4  # 16-way subdivision rounds; (pi/128)/16^4 ~ 4e-7 rad
 
 
 def _nister_constraints(p, basis):
@@ -115,7 +133,7 @@ def _nister_constraints(p, basis):
     E = p[0] * basis[0] + p[1] * basis[1] + p[2] * basis[2] + basis[3]
     EEt = E @ E.T
     T = 2.0 * (EEt @ E) - jnp.trace(EEt) * E
-    return jnp.concatenate([T.reshape(9), jnp.linalg.det(E)[None]])
+    return jnp.concatenate([T.reshape(9), det3(E)[None]])
 
 
 def _mz_coefficients(basis):
@@ -156,14 +174,15 @@ def _five_point_candidates(x0, x1):
     A = jnp.stack(
         [u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1
     )  # [5, 9]
-    _, V = jnp.linalg.eigh(A.T @ A)
-    basis = V[:, :4].T.reshape(4, 3, 3)  # E1, E2, E3; E4 = affine part
+    # exact 4-dim nullspace of the [5, 9] system by block inverse iteration
+    # (any orthonormal basis of the nullspace parameterises the same family)
+    basis = smallest_eigvecs(A.T @ A, 4).T.reshape(4, 3, 3)
     Mc = _mz_coefficients(basis)
 
     # sign-change isolation over theta
     eps = 1e-3
     thetas = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, _GRID)
-    f = jnp.linalg.det(jax.vmap(lambda t: _m_tilde(Mc, t))(thetas))  # [G]
+    f = det_small(jax.vmap(lambda t: _m_tilde(Mc, t))(thetas))  # [G]
     sign = jnp.where(f >= 0, 1.0, -1.0)
     is_bracket = sign[:-1] * sign[1:] < 0  # [G-1]
     # earliest _MAX_ROOTS brackets (fixed shape)
@@ -177,28 +196,49 @@ def _five_point_candidates(x0, x1):
     hi = thetas[bracket_idx + 1]
     s_lo = sign[bracket_idx]
 
-    def bisect(carry, _):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        fm = jnp.linalg.det(jax.vmap(lambda t: _m_tilde(Mc, t))(mid))
-        same = jnp.where(fm >= 0, 1.0, -1.0) == s_lo
-        return (jnp.where(same, mid, lo), jnp.where(same, hi, mid)), None
+    # root polish by 16-way subdivision: each round evaluates 16 interior
+    # points of every bracket in ONE batched det_small call and narrows the
+    # bracket 16x — 4 sequential rounds reach (pi/128)/16^4 ~ 4e-7 rad where
+    # plain bisection needs 30 sequential steps (the sequential axis, not
+    # the det count, dominated the runtime: 30 tiny steps cost ~65 ms/batch)
+    n_sub = 16
+    offs = (jnp.arange(1, n_sub + 1, dtype=dtype)) / n_sub  # [16]
 
-    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=_BISECT_ITERS)
+    def refine(carry, _):
+        lo, hi = carry  # [_MAX_ROOTS]
+        ts = lo[:, None] + (hi - lo)[:, None] * offs[None, :]  # [R, 16]
+        fs = det_small(
+            jax.vmap(lambda t: _m_tilde(Mc, t))(ts.reshape(-1))
+        ).reshape(ts.shape)
+        signs = jnp.where(fs >= 0, 1.0, -1.0)
+        # bracket invariant: sign(lo) == s_lo, sign(hi) == -s_lo; the root
+        # lies before the FIRST interior point whose sign differs from s_lo
+        flipped = signs != s_lo[:, None]  # [R, 16]
+        # append the hi endpoint (always flipped) so argmax is well-defined
+        flipped = jnp.concatenate(
+            [flipped, jnp.ones_like(flipped[:, :1])], axis=1)
+        ts_ext = jnp.concatenate([ts, hi[:, None]], axis=1)  # [R, 17]
+        k = jnp.argmax(flipped, axis=1)  # first flipped index, [R]
+        new_hi = jnp.take_along_axis(ts_ext, k[:, None], axis=1)[:, 0]
+        prev = jnp.take_along_axis(
+            ts_ext, jnp.maximum(k - 1, 0)[:, None], axis=1)[:, 0]
+        new_lo = jnp.where(k > 0, prev, lo)
+        return (new_lo, new_hi), None
+
+    (lo, hi), _ = jax.lax.scan(refine, (lo, hi), None, length=_SUBDIV_ROUNDS)
     theta_star = 0.5 * (lo + hi)
     z = jnp.tan(theta_star)  # [_MAX_ROOTS]
 
     def recover(theta, z):
         Mt = _m_tilde(Mc, theta)
-        _, Vm = jnp.linalg.eigh(Mt.T @ Mt)
-        m = Vm[:, 0]
+        m = smallest_eigvec(Mt.T @ Mt)
         d = m[9]
         safe = d / (d * d + 1e-12)
         x = m[7] * safe
         y = m[8] * safe
         E = x * basis[0] + y * basis[1] + z * basis[2] + basis[3]
         # project onto the essential manifold
-        U, S, Vt = jnp.linalg.svd(E)
+        U, S, Vt = svd3(E)
         sv = (S[0] + S[1]) / 2.0
         return (U * jnp.asarray([sv, sv, 0.0], dtype)) @ Vt
 
@@ -221,8 +261,7 @@ def _homography_4pt(x0, x1, w):
     row_v = jnp.stack(
         [zeros, zeros, zeros, u0, v0, ones, -v1 * u0, -v1 * v0, -v1], axis=-1)
     A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
-    _, V = jnp.linalg.eigh(A.T @ A)
-    return V[:, 0].reshape(3, 3)
+    return smallest_eigvec(A.T @ A).reshape(3, 3)
 
 
 def homography_pose_candidates(H):
@@ -232,9 +271,9 @@ def homography_pose_candidates(H):
 
     Returns (Rs [4, 3, 3], ts [4, 3] unit-normalised up-to-sign).
     """
-    U, S, Vt = jnp.linalg.svd(H)
+    U, S, Vt = svd3(H)
     d1, d2, d3 = S[0], S[1], S[2]
-    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    s = det3(U) * det3(Vt)
 
     denom = jnp.maximum(d1**2 - d3**2, 1e-12)
     x1 = jnp.sqrt(jnp.maximum(d1**2 - d2**2, 0.0) / denom)
@@ -260,6 +299,7 @@ def homography_pose_candidates(H):
     return jnp.stack(Rs), jnp.stack(ts)
 
 
+@_f32_matmuls
 def sampson_sq(E, x0, x1):
     """Squared Sampson distance of the epipolar constraint, [N]."""
     x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)  # [N, 3]
@@ -283,6 +323,7 @@ def _skew(v):
     )
 
 
+@_f32_matmuls
 def refine_essential_gn(E0, x0, x1, weights, n_iters: int = 8, damping: float = 1e-8):
     """Gauss-Newton polish of E on the essential manifold.
 
@@ -327,13 +368,14 @@ def refine_essential_gn(E0, x0, x1, weights, n_iters: int = 8, damping: float = 
     return make_E(params)
 
 
+@_f32_matmuls
 def decompose_E(E):
     """E -> (R1, R2, t) candidates via SVD (cf. the reference's numpy variant
     at lib/utils/localize.py:872-889)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3(E)
     # enforce proper rotations
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    U = U * jnp.sign(det3(U))
+    Vt = Vt * jnp.sign(det3(Vt))
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
     R1 = U @ W @ Vt
     R2 = U @ W.T @ Vt
@@ -362,6 +404,7 @@ def _two_view_depths(R, t, x0, x1):
     return z0, z1
 
 
+@_f32_matmuls
 def cheirality_pose(E, x0, x1, mask, max_depth=1e9):
     """Pick the (R, t) candidate with the most points in front of both
     cameras (cv.recoverPose equivalent, reference pose_solver.py:54-61)."""
@@ -394,6 +437,7 @@ def _h_transfer_sq(H, x0, x1):
     return jnp.sum((proj - x1) ** 2, axis=-1)
 
 
+@_f32_matmuls
 def estimate_homography(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 256):
     """Fixed-budget 4-point homography RANSAC on normalized coords.
 
@@ -440,6 +484,7 @@ def homography_cheirality_pose(H, x0, x1, mask):
     return Rs[best], ts[best], counts[best]
 
 
+@_f32_matmuls
 def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
     """Single-pair 8-point RANSAC with one least-squares refit on inliers.
 
@@ -546,6 +591,7 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
+@_f32_matmuls
 def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
                    n_iters: int = 512):
     """Batched up-to-scale relative pose from 2D-2D correspondences.

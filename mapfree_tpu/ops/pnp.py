@@ -16,6 +16,24 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from mapfree_tpu.geom.smallblas import smallest_eigvecs, svd3
+
+
+def _f32_matmuls(fn):
+    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
+    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
+    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
+    an EXACT essential matrix came back with up to 4.4 deg of rotation
+    error). The solver FLOPs are trivial, so full precision is free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 from mapfree_tpu.geom.rotation import inv_rodrigues, rodrigues
 from mapfree_tpu.ops.ransac import masked_sample_indices
 
@@ -33,7 +51,7 @@ def _pose_from_P(p, Xh, w):
     sgn = jnp.where(sgn == 0, 1.0, sgn)
     P = P * sgn
     M = P[:, :3]
-    U, S, Vt = jnp.linalg.svd(M)
+    U, S, Vt = svd3(M)
     R = U @ Vt
     R = R * jnp.sign(jnp.linalg.det(R))
     scale = jnp.sum(S) / 3.0
@@ -66,7 +84,9 @@ def _dlt_pose(X, x, w):
         [jnp.zeros_like(Xh), Xh, -v[:, None] * Xh], axis=-1
     )
     A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
-    _, V = jnp.linalg.eigh(A.T @ A)
+    # bottom-2 subspace: the exact nullspace vector plus one more low-residual
+    # direction as a second hypothesis (both get scored downstream)
+    V = smallest_eigvecs(A.T @ A, 2)
     R0, t0 = _pose_from_P(V[:, 0], Xh, w)
     R1, t1 = _pose_from_P(V[:, 1], Xh, w)
     return jnp.stack([R0, R1]), jnp.stack([t0, t1])
@@ -175,6 +195,7 @@ def _gauss_newton(R0, t0, X, x_norm, w, n_iters=_GN_ITERS, damping=1e-6):
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
+@_f32_matmuls
 def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
              reproj_threshold, n_iters: int = 512):
     """Batched metric pose via PnP RANSAC + GN refine.

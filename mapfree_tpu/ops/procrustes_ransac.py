@@ -16,6 +16,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+
+def _f32_matmuls(fn):
+    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
+    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
+    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
+    an EXACT essential matrix came back with up to 4.4 deg of rotation
+    error). The solver FLOPs are trivial, so full precision is free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 from mapfree_tpu.geom.procrustes import procrustes
 from mapfree_tpu.ops.ransac import masked_sample_indices
 
@@ -27,6 +43,7 @@ def _transform(R, t, X):
     return X @ R.T + t
 
 
+@_f32_matmuls
 def procrustes_ransac_single(key, xyz0, xyz1, mask, max_corr_dist,
                              n_iters: int = 256):
     """Single-pair rigid registration with known correspondences.
@@ -72,6 +89,7 @@ def procrustes_ransac_single(key, xyz0, xyz1, mask, max_corr_dist,
     return R_fin, t_fin, jnp.sum(inl_fin), inl_fin
 
 
+@_f32_matmuls
 def icp_point_to_point(R0, t0, cloud0, mask0, cloud1, mask1, max_corr_dist,
                        n_iters: int = _ICP_ITERS):
     """Fixed-iteration point-to-point ICP with brute-force NN (single pair).
@@ -107,6 +125,7 @@ def icp_point_to_point(R0, t0, cloud0, mask0, cloud1, mask1, max_corr_dist,
 
 
 @partial(jax.jit, static_argnames=("n_iters", "refine"))
+@_f32_matmuls
 def procrustes_pose(key, pts0, pts1, mask, depth0, depth1, K0, K1,
                     max_corr_dist, n_iters: int = 256, refine: bool = False,
                     icp_cloud0=None, icp_mask0=None, icp_cloud1=None,
