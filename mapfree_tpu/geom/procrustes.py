@@ -30,7 +30,7 @@ def _f32_matmuls(fn):
     return wrapped
 
 
-from mapfree_tpu.geom.smallblas import svd3
+from mapfree_tpu.geom.smallblas import det3, svd3
 
 
 @_f32_matmuls
@@ -62,7 +62,7 @@ def procrustes(A, B, weights=None):
 
     U, S, Vt = svd3(H)
     V = jnp.swapaxes(Vt, -1, -2)
-    det = jnp.linalg.det(U @ Vt)
+    det = det3(U @ Vt)
     # fix orientation so det(R) = +1: R = V @ diag(1, 1, sign) @ U^T
     sign = jnp.sign(det)[..., None]  # [B, 1]
     V_fixed = jnp.concatenate([V[..., :2], V[..., 2:] * sign[..., None]], axis=-1)

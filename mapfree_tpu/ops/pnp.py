@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from mapfree_tpu.geom.smallblas import smallest_eigvecs, svd3
+from mapfree_tpu.geom.smallblas import det3, smallest_eigvecs, svd3
 
 
 def _f32_matmuls(fn):
@@ -53,7 +53,7 @@ def _pose_from_P(p, Xh, w):
     M = P[:, :3]
     U, S, Vt = svd3(M)
     R = U @ Vt
-    R = R * jnp.sign(jnp.linalg.det(R))
+    R = R * jnp.sign(det3(R))
     scale = jnp.sum(S) / 3.0
     t = P[:, 3] / jnp.maximum(scale, 1e-12)
     return R, t
