@@ -19,6 +19,7 @@ import json
 import os
 import shutil
 import time
+from contextlib import nullcontext as _nullcontext
 from pathlib import Path
 
 import numpy as np
@@ -198,12 +199,17 @@ def bench_train(cfg, batch: int = 16):
 
 
 def bench_e2e(cfg, batch: int):
-    """Full val sweep: disk -> decode -> H2D -> forward -> submission.zip."""
+    """Full val sweep: disk -> decode -> H2D -> forward -> submission.zip.
+
+    Returns (pairs/s, per-stage busy-seconds breakdown). Stages overlap
+    (three-thread pipeline), so the breakdown identifies the bottleneck
+    stage: the largest busy time ~= elapsed when one stage dominates."""
     import tempfile
 
     from mapfree_tpu.data import DataLoader, MapFreeDataset
     from mapfree_tpu.models.builder import build_model
     from mapfree_tpu.utils.submission import predict, save_submission
+    from mapfree_tpu.utils.timing import StageTimes
 
     cfg = cfg.clone()
     cfg.DATASET.DATA_ROOT = str(SCENES_DIR)
@@ -213,20 +219,185 @@ def bench_e2e(cfg, batch: int):
     dataset = MapFreeDataset(cfg, "val")
     model = build_model(cfg)
 
-    def sweep():
-        loader = DataLoader(dataset, batch_size=batch, num_workers=2, prefetch=4)
-        results = predict(loader, model)
-        with tempfile.TemporaryDirectory() as d:
-            save_submission(results, Path(d) / "submission.zip")
+    def sweep(times=None):
+        loader = DataLoader(dataset, batch_size=batch, num_workers=2,
+                            prefetch=4, times=times,
+                            unique_refs=(cfg.MODEL == "Regression"
+                                         and int(cfg.TPU.UNIQUE_REFS) > 0))
+        results = predict(loader, model, times=times)
+        with (times.stage("zip") if times else _nullcontext()):
+            with tempfile.TemporaryDirectory() as d:
+                save_submission(results, Path(d) / "submission.zip")
         return results
 
     sweep()  # warm: compile + OS page cache
+    times = StageTimes()
     start = time.perf_counter()
-    results = sweep()
+    results = sweep(times)
     elapsed = time.perf_counter() - start
     n_pairs = sum(len(v) for v in results.values())
     assert n_pairs == len(dataset), f"{n_pairs} poses for {len(dataset)} pairs"
-    return n_pairs / elapsed
+    breakdown = times.summary()
+    breakdown["elapsed"] = round(elapsed, 4)
+    return n_pairs / elapsed, breakdown
+
+
+M_SCENES_DIR = Path(__file__).parent / ".bench_scenes_matching"
+N_M_SCENES = 4
+N_M_QUERIES = 50  # -> 10 eval pairs per scene
+M_H, M_W = 360, 270
+M_NOISE_PX = 0.5
+M_OUTLIER_FRAC = 0.3
+
+
+def _make_matching_scenes():
+    """Synthetic val scenes with GT-consistent depth + noisy/outlier-laden
+    precomputed correspondences (the matching track's realistic input: the
+    reference consumes offline LoFTR/SG/SIFT npz, lib/models/matching/
+    feature_matching.py:5-50, and solves with USAC_MAGSAC)."""
+    import cv2
+
+    marker = M_SCENES_DIR / f"ok_{N_M_SCENES}_{N_M_QUERIES}_{M_H}x{M_W}"
+    if marker.exists():
+        return
+    if M_SCENES_DIR.exists():
+        shutil.rmtree(M_SCENES_DIR)
+    rng = np.random.default_rng(3)
+    fx = fy = 450.0
+    cx, cy = M_W / 2, M_H / 2
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    K_inv = np.linalg.inv(K)
+
+    for s in range(N_M_SCENES):
+        scene = M_SCENES_DIR / "val" / f"s{s:05}"
+        (scene / "seq0").mkdir(parents=True)
+        (scene / "seq1").mkdir(parents=True)
+        frames = ["seq0/frame_00000.jpg"] + [
+            f"seq1/frame_{i:05}.jpg" for i in range(N_M_QUERIES)
+        ]
+        base = rng.integers(0, 235, size=(45, 34, 3), dtype=np.uint8)
+        intr, pose_lines = [], []
+        poses = {}
+        for name in frames:
+            jit = base + rng.integers(0, 20, size=base.shape, dtype=np.uint8)
+            img = cv2.resize(jit, (M_W, M_H), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(scene / name), img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+            if name.startswith("seq0"):
+                q = np.array([1.0, 0.0, 0.0, 0.0])
+                t = np.zeros(3)
+            else:
+                axis = rng.normal(size=3)
+                axis /= np.linalg.norm(axis)
+                ang = rng.uniform(0.02, 0.2)
+                q = np.concatenate([[np.cos(ang / 2)], axis * np.sin(ang / 2)])
+                t = rng.normal(size=3) * 0.15
+            poses[name] = (q, t)
+            intr.append(f"{name} {fx} {fy} {cx} {cy} {M_W} {M_H}")
+            pose_lines.append(
+                f"{name} " + " ".join(f"{v:.9f}" for v in np.concatenate([q, t])))
+        (scene / "intrinsics.txt").write_text("\n".join(intr) + "\n")
+        (scene / "poses.txt").write_text("\n".join(pose_lines) + "\n")
+
+        # view0 depth: smooth non-planar surface; correspondences projected
+        # through the GT pose, with pixel noise + uniform outliers
+        from mapfree_tpu.geom.quaternion import quat2mat
+
+        uu, vv = np.meshgrid(np.arange(M_W), np.arange(M_H))
+        depth0 = (2.5 + 0.5 * np.sin(uu / 23.0) + 0.4 * np.cos(vv / 19.0))
+        cv2.imwrite(str(scene / "seq0/frame_00000.gt.png"),
+                    (depth0 * 1000).astype(np.uint16))
+        us = np.arange(6, M_W - 6, 6)
+        vs = np.arange(6, M_H - 6, 6)
+        gu, gv = np.meshgrid(us, vs)
+        uv0 = np.stack([gu.reshape(-1), gv.reshape(-1)], -1).astype(np.float64)
+        z0 = depth0[uv0[:, 1].astype(int), uv0[:, 0].astype(int)]
+        X0 = (np.concatenate([uv0, np.ones_like(uv0[:, :1])], 1) @ K_inv.T) * z0[:, None]
+
+        correspondences = []
+        for i in range(N_M_QUERIES):
+            name = f"seq1/frame_{i:05}.jpg"
+            q, t = poses[name]
+            R = np.asarray(quat2mat(q))
+            X1 = X0 @ R.T + t
+            uv1h = X1 @ K.T
+            uv1 = uv1h[:, :2] / uv1h[:, 2:]
+            vis = ((uv1[:, 0] >= 0) & (uv1[:, 0] < M_W - 1)
+                   & (uv1[:, 1] >= 0) & (uv1[:, 1] < M_H - 1) & (X1[:, 2] > 0.1))
+            depth1 = np.zeros((M_H, M_W), np.float32)
+            ui = np.clip(uv1[vis, 0].astype(int), 0, M_W - 1)
+            vi = np.clip(uv1[vis, 1].astype(int), 0, M_H - 1)
+            depth1[vi, ui] = X1[vis, 2]
+            cv2.imwrite(str(scene / name).replace(".jpg", ".gt.png"),
+                        (depth1 * 1000).astype(np.uint16))
+            u1 = uv1[vis] + rng.normal(scale=M_NOISE_PX, size=(vis.sum(), 2))
+            n_out = int(M_OUTLIER_FRAC * len(u1))
+            out_idx = rng.choice(len(u1), n_out, replace=False)
+            u1[out_idx] = rng.uniform([0, 0], [M_W, M_H], size=(n_out, 2))
+            correspondences.append(
+                np.concatenate([uv0[vis], u1], 1).astype(np.float32))
+
+        max_n = max(len(c) for c in correspondences)
+        stacked = np.full((N_M_QUERIES, max_n, 4), np.nan, np.float32)
+        for i, c in enumerate(correspondences):
+            stacked[i, : len(c)] = c
+        np.savez(scene / "correspondences.npz", correspondences=stacked)
+    marker.touch()
+
+
+def bench_matching(batch: int = 8):
+    """Matching-track end-to-end: disk -> precomputed correspondences ->
+    batched essential-matrix solver + metric scale -> submission.zip ->
+    evaluator score (reference submission path over FeatureMatchingModel,
+    lib/models/matching/model.py:29-40 + pose_solver.py:114-172).
+
+    Returns (pairs/s, precision@pose, precision@VCRE)."""
+    import tempfile
+
+    from mapfree_tpu.benchmark.mapfree import run as run_benchmark
+    from mapfree_tpu.config import cfg as default_cfg
+    from mapfree_tpu.data import DataLoader, MapFreeDataset
+    from mapfree_tpu.models.builder import build_model
+    from mapfree_tpu.utils.submission import predict, save_submission
+
+    cfg = default_cfg.clone()
+    cfg.merge_from_file("configs/mapfree.yaml")
+    cfg.MODEL = "FeatureMatching"
+    cfg.FEATURE_MATCHING = "Precomputed"
+    cfg.POSE_SOLVER = "EssentialMatrixMetric"
+    cfg.MATCHES_FILE_PATH = "{scene_root}/correspondences.npz"
+    cfg.DATASET.DATA_ROOT = str(M_SCENES_DIR)
+    cfg.DATASET.SCENES = None
+    cfg.DATASET.HEIGHT, cfg.DATASET.WIDTH = M_H, M_W
+    cfg.DATASET.ESTIMATED_DEPTH = "gt"
+    cfg.EMAT_RANSAC.PIX_THRESHOLD = 2.0
+    cfg.EMAT_RANSAC.SCALE_THRESHOLD = 0.1
+    cfg.TPU.INFER_BATCH = batch
+    cfg.TPU.MAX_CORRESPONDENCES = 2048
+    cfg.TPU.RANSAC_ITERATIONS = 512
+
+    dataset = MapFreeDataset(cfg, "val")
+    model = build_model(cfg)
+
+    def sweep(out_zip):
+        loader = DataLoader(dataset, batch_size=batch, num_workers=2, prefetch=4)
+        results = predict(loader, model)
+        save_submission(results, out_zip)
+        return results
+
+    with tempfile.TemporaryDirectory() as d:
+        sweep(Path(d) / "warm.zip")  # compile both budget tiers + page cache
+        start = time.perf_counter()
+        results = sweep(Path(d) / "submission.zip")
+        elapsed = time.perf_counter() - start
+        n_pairs = sum(len(v) for v in results.values())
+        metrics = run_benchmark(Path(d) / "submission.zip",
+                                M_SCENES_DIR / "val")
+    from mapfree_tpu.benchmark import config as bench_config
+
+    pose_key = (f"Precision @ Pose Error < "
+                f"({bench_config.t_threshold*100}cm, {bench_config.R_threshold}deg)")
+    vcre_key = f"Precision @ VCRE < {bench_config.vcre_threshold}px"
+    return (n_pairs / elapsed, float(metrics[pose_key]), float(metrics[vcre_key]))
 
 
 def _ensure_native():
@@ -254,6 +425,7 @@ def main():
 
     _ensure_native()
     _make_bench_scenes()
+    _make_matching_scenes()
     cfg = _flagship_cfg()
 
     model_pps, best_batch = bench_model_only(cfg)
@@ -263,7 +435,8 @@ def main():
     train_sps = (
         bench_train(cfg) if os.environ.get("MAPFREE_BENCH_TRAIN") else None
     )
-    e2e_pps = bench_e2e(cfg, min(best_batch, 32))
+    e2e_pps, e2e_stages = bench_e2e(cfg, min(best_batch, 32))
+    match_pps, match_prec_pose, match_prec_vcre = bench_matching()
 
     # Context: the north-star 2,000 pairs/s (BASELINE.json) is specified for
     # a v4-8 (8 chips); this bench runs on the single chip the environment
@@ -285,6 +458,10 @@ def main():
                 ),
                 "e2e_val_sweep_pairs_per_s": round(e2e_pps, 2),
                 "e2e_vs_baseline": round(e2e_pps / BASELINE_PAIRS_PER_SEC, 4),
+                "e2e_stage_seconds": e2e_stages,
+                "matching_track_pairs_per_s": round(match_pps, 2),
+                "matching_precision_pose": round(match_prec_pose, 4),
+                "matching_precision_vcre": round(match_prec_vcre, 4),
                 **(
                     {"train_step_samples_per_s": round(train_sps, 2)}
                     if train_sps is not None else {}

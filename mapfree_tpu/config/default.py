@@ -124,7 +124,11 @@ _CN.TPU.FUSED_CORRELATION = True  # Pallas fused correlation kernel (TPU only)
 _CN.TPU.SEED = 0
 _CN.TPU.PROFILE_DIR = None      # jax.profiler trace output dir
 _CN.TPU.INFER_BATCH = 8         # batched inference size for the submission sweep
+_CN.TPU.UNIQUE_REFS = 4         # max deduped ref frames per inference batch
+                                # (0 disables the on-device ref-gather path)
 _CN.TPU.MAX_CORRESPONDENCES = 2048  # fixed-shape padding for the matching track
 _CN.TPU.RANSAC_ITERATIONS = 1024    # fixed hypothesis count for batched RANSAC
+_CN.TPU.ADAPTIVE_RANSAC = True      # two-tier budget ladder (cheap dispatch
+                                    # first, full budget only for hard pairs)
 
 cfg = _CN

@@ -42,7 +42,9 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, sampler=None, shuffle: bool = False,
                  num_workers: int = 1, drop_last: bool = False, prefetch: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, times=None, unique_refs: bool = False):
+        from mapfree_tpu.utils.timing import NULL_TIMES
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -51,6 +53,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
+        self.times = times or NULL_TIMES
+        # emit image0_unique/ref_idx batches (dataset.getbatch) for consumers
+        # that gather the deduped reference frames on-device
+        self.unique_refs = unique_refs
 
     def _indices(self):
         if self.sampler is not None:
@@ -85,15 +91,31 @@ class DataLoader:
 
         getitems = getattr(self.dataset, "getitems", None)
         use_batch_io = HAS_NATIVE_DECODER and getitems is not None
+        getbatch = getattr(self.dataset, "getbatch", None)
+        use_getbatch = (
+            self.unique_refs and HAS_NATIVE_DECODER and getbatch is not None
+        )
+
+        times = self.times
 
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
                 for b in batches:
-                    if use_batch_io:
-                        samples = getitems(b)
-                    else:
-                        samples = list(ex.map(self.dataset.__getitem__, b))
-                    q.put(collate(samples))
+                    item = None
+                    if use_getbatch:
+                        with times.stage("decode"):
+                            item = getbatch(b)
+                    if item is None:
+                        with times.stage("decode"):
+                            if use_batch_io:
+                                samples = getitems(b)
+                            else:
+                                samples = list(
+                                    ex.map(self.dataset.__getitem__, b))
+                        with times.stage("collate"):
+                            item = collate(samples)
+                    with times.stage("queue_put"):  # backpressure wait
+                        q.put(item)
             q.put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -389,6 +389,86 @@ class ConcatDataset:
             for (ds, i), pl in zip(resolved, path_lists)
         ]
 
+    def getbatch(self, indices):
+        """Batch fetch with reference-frame dedup kept through collation.
+
+        Returns a collated batch whose image fields are
+        ``image0_unique [U, H, W, 3]`` + ``ref_idx [B]`` (each pair's row in
+        the unique array) + ``image1 [B, H, W, 3]``, or None when the fast
+        path does not apply (multi-frame windows, PNGs, transforms, repeated
+        queries). Two wins over getitems+collate: the query stack is a
+        zero-copy view of the decoder's output (the round-2 collate spent
+        2.8 s/sweep re-stacking 75 MB batches on this 1-core host), and only
+        the UNIQUE reference frames are shipped to and encoded on the device
+        (an eval batch shares 1-2 refs across 32 pairs; reference
+        submission.py:33-58 re-encodes the ref for every pair).
+        """
+        resolved = [self._resolve(i) for i in indices]
+        sizes = {
+            getattr(ds, "resize", None)
+            for ds, _ in resolved
+            if hasattr(ds, "image_paths")
+        }
+        if (
+            any(not hasattr(ds, "image_paths") for ds, _ in resolved)
+            or len(sizes) != 1
+            or next(iter(sizes)) is None
+            or any(ds.transforms is not None for ds, _ in resolved)
+        ):
+            return None
+        path_lists = [ds.image_paths(i) for ds, i in resolved]
+        if not all(len(pl) == 2 for pl in path_lists):  # single-frame only
+            return None
+        if not all(
+            p.lower().endswith((".jpg", ".jpeg"))
+            for pl in path_lists for p in pl
+        ):
+            return None
+        queries = [pl[1] for pl in path_lists]
+        refs = [pl[0] for pl in path_lists]
+        if len(set(queries)) != len(queries):
+            return None
+
+        from mapfree_tpu.data.io import decode_resize_batch
+
+        ref_rows, ref_of = [], {}
+        for p in refs:
+            if p not in ref_of:
+                ref_of[p] = len(ref_rows)
+                ref_rows.append(p)
+        new_refs = [p for p in ref_rows if p not in self._decode_cache]
+        # decode order [queries..., new refs...]: image1 is a zero-copy view
+        decoded = decode_resize_batch(
+            queries + new_refs, *next(iter(sizes)), uint8=True)
+        B = len(queries)
+        image1 = decoded[:B]
+
+        new_pos = {p: B + j for j, p in enumerate(new_refs)}
+        ref_arrays = [
+            decoded[new_pos[p]] if p in new_pos else self._decode_cache[p]
+            for p in ref_rows
+        ]
+        image0_unique = np.stack(ref_arrays)
+        for p in ref_rows:  # refs repeat across batches of the same scene
+            self._decode_cache[p] = ref_arrays[ref_of[p]]
+        while len(self._decode_cache) > 16:
+            self._decode_cache.pop(next(iter(self._decode_cache)))
+
+        from mapfree_tpu.data.loader import collate
+
+        samples = []
+        for j, ((ds, i), pl) in enumerate(zip(resolved, path_lists)):
+            s = ds.getitem_decoded(
+                i, [ref_arrays[ref_of[pl[0]]], decoded[j]])
+            s.pop("image0")
+            s.pop("image1")
+            samples.append(s)
+        batch = collate(samples)
+        batch["image0_unique"] = image0_unique
+        batch["ref_idx"] = np.asarray([ref_of[p] for p in refs], np.int32)
+        batch["image1"] = image1
+        return batch
+
 
 class MapFreeDataset(ConcatDataset):
     def __init__(self, cfg, mode, transforms=None):

@@ -26,8 +26,24 @@ One-sided Jacobi converges quadratically; the default sweep counts give
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+def f32_matmuls(fn):
+    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
+    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
+    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
+    an EXACT essential matrix came back with up to 4.4 deg of rotation
+    error). The solver FLOPs are trivial, so full precision is free."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 def _mgs(X):
@@ -61,9 +77,10 @@ def smallest_eigvecs(M, k: int = 1, iters: int = 6, shift: float = 1e-6):
     tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
     Mr = M + (shift * tr + 1e-30) * jnp.eye(n, dtype=M.dtype)
     L = jnp.linalg.cholesky(Mr)
-    # deterministic full-rank start: last k identity columns + a bit of the
-    # first rows so no target direction is exactly orthogonal to the start
-    X0 = jnp.eye(n, k, dtype=M.dtype)[::-1]
+    # deterministic full-rank start: last k identity columns plus a small
+    # constant on every row, so no target direction is exactly orthogonal to
+    # the start (the iteration cannot escape an exactly-orthogonal start)
+    X0 = jnp.eye(n, k, dtype=M.dtype)[::-1] + jnp.asarray(0.01, M.dtype)
     X = jnp.broadcast_to(X0, M.shape[:-2] + (n, k))
     for _ in range(iters):
         Y = jax.scipy.linalg.cho_solve((L, True), X)

@@ -98,12 +98,63 @@ class RegressionPredictor:
                 out_shardings=sharded,
             )
 
-    def predict_batch_async(self, batch):
-        """Dispatch one batch; returns finalize() -> (R, t, inliers) numpy.
+        # deduped-reference path: encode U unique refs + B queries instead of
+        # 2B images, gathering ref features by index after the encoder (an
+        # eval batch shares 1-2 refs across its pairs; see RegressionNet)
+        self.u_max = (
+            min(self.batch_size, int(cfg.TPU.UNIQUE_REFS))
+            if cfg.MODEL == "Regression" else 0
+        )
+        if self.u_max:
+            def _forward_unique(image0u, ref_idx, image1):
+                R, t, _ = self.net.apply(self.variables, image0u, image1,
+                                         train=False, ref_idx=ref_idx)
+                return _pack(R, t)
 
-        The device work (H2D, forward) proceeds in the background, so a
-        caller holding a small queue of finalizers overlaps transfer/compute
-        of batch i+1 with host processing of batch i."""
+            if self.mesh is None:
+                self._predict_unique = jax.jit(_forward_unique)
+            else:
+                repl = NamedSharding(self.mesh, P())
+                self._predict_unique = jax.jit(
+                    _forward_unique,
+                    in_shardings=(repl, sharded, sharded),
+                    out_shardings=sharded,
+                )
+
+    def transfer_batch(self, batch, times=None):
+        """Host->device stage: pad the final partial batch and ship the
+        arrays. Returns (device_args, B). Runs safely on a worker thread, so
+        the sweep can overlap batch i+1's H2D (the dominant cost on a
+        remote-tunnel link) with batch i's compute dispatch."""
+        from mapfree_tpu.utils.timing import NULL_TIMES
+
+        times = times or NULL_TIMES
+        if "image0_unique" in batch:
+            u = np.asarray(batch["image0_unique"])
+            ridx = np.asarray(batch["ref_idx"], np.int32)
+            if self.u_max and u.shape[0] <= self.u_max:
+                image1 = np.asarray(batch["image1"])
+                B = image1.shape[0]
+                if u.shape[0] < self.u_max:
+                    u = np.concatenate([
+                        u, np.zeros((self.u_max - u.shape[0],) + u.shape[1:],
+                                    u.dtype)])
+                if B < self.batch_size:
+                    pad = self.batch_size - B
+                    image1 = np.concatenate([
+                        image1,
+                        np.zeros((pad,) + image1.shape[1:], image1.dtype)])
+                    ridx = np.concatenate([ridx, np.zeros(pad, np.int32)])
+                with times.stage("h2d"):
+                    dev = [jnp.asarray(u), jnp.asarray(ridx),
+                           jnp.asarray(image1)]
+                    for a in dev:
+                        a.block_until_ready()
+                return ("unique", dev, B)
+            # too many unique refs for the compiled shape: materialise the
+            # per-pair ref stack and use the standard path
+            batch = dict(batch)
+            batch["image0"] = u[ridx]
         image0 = np.asarray(batch["image0"])
         image1 = np.asarray(batch["image1"])
         if image0.dtype != np.uint8:  # uint8 ships as-is (4x fewer bytes)
@@ -122,15 +173,39 @@ class RegressionPredictor:
                 if i == 2:  # device quaternions must stay unit-norm
                     filler[..., 0] = 1.0
                 args[i] = np.concatenate([a, filler])
-        out = self._predict(*(jnp.asarray(a) for a in args))
+        with times.stage("h2d"):
+            dev = [jnp.asarray(a) for a in args]
+            for a in dev:
+                a.block_until_ready()
+        return ("std", dev, B)
+
+    def dispatch_device(self, transferred, times=None):
+        """Compute stage: jitted forward on device-resident args; returns
+        finalize() -> (R, t, inliers) numpy (the only D2H fetch)."""
+        from mapfree_tpu.utils.timing import NULL_TIMES
+
+        times = times or NULL_TIMES
+        kind, dev, B = transferred
+        fn = self._predict_unique if kind == "unique" else self._predict
+        with times.stage("dispatch"):
+            out = fn(*dev)
 
         def finalize():
-            host = np.asarray(out)[:B]
+            with times.stage("d2h_wait"):
+                host = np.asarray(out)[:B]
             R = host[:, :3]
             t = host[:, 3:].reshape(B, 1, 3)
             return R, t, np.zeros((B,), np.float32)
 
         return finalize
+
+    def predict_batch_async(self, batch, times=None):
+        """Dispatch one batch; returns finalize() -> (R, t, inliers) numpy.
+
+        The device work (H2D, forward) proceeds in the background, so a
+        caller holding a small queue of finalizers overlaps transfer/compute
+        of batch i+1 with host processing of batch i."""
+        return self.dispatch_device(self.transfer_batch(batch, times), times)
 
     def predict_batch(self, batch):
         return self.predict_batch_async(batch)()

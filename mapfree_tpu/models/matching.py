@@ -20,7 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mapfree_tpu.ops.essential import essential_pose, metric_scale_from_depth
+from mapfree_tpu.ops.essential import (essential_pose,
+                                       essential_pose_adaptive,
+                                       metric_scale_from_depth)
 from mapfree_tpu.ops.matching import mutual_2nn_ratio_match
 from mapfree_tpu.ops.pnp import pnp_pose
 from mapfree_tpu.ops.procrustes_ransac import dense_cloud_from_depth, procrustes_pose
@@ -247,7 +249,9 @@ class FeatureMatchingModel:
             return jnp.asarray(d)
 
         if self.solver.startswith("EssentialMatrix"):
-            out = essential_pose(
+            solve = (essential_pose_adaptive if bool(cfg.TPU.ADAPTIVE_RANSAC)
+                     else essential_pose)
+            out = solve(
                 key, pts0, pts1, maskj, K0, K1,
                 float(cfg.EMAT_RANSAC.PIX_THRESHOLD), n_iters=self.n_iters,
             )

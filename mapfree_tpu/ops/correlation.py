@@ -206,6 +206,9 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
     rM = row_block
+    # The chunk-count maths below assumes key_chunk is rM-aligned; a
+    # non-aligned cap could push col_chunk up to rM-1 columns over budget.
+    key_chunk = max(rM, (key_chunk // rM) * rM)
     # Chunking: fewer, larger key chunks are faster (less running-softmax
     # rescale traffic; measured 4.6 vs 5.4 ms at HW=6120/B=32 for one 6144
     # chunk vs three 2048 chunks), but the key axis must stay under the VMEM
@@ -272,11 +275,18 @@ def _fcw_bwd(interpret, row_block, key_chunk, residuals, cotangents):
     Cv = v.shape[-1]
     # Mosaic stack-allocates every temporary, so tile sizes are set by the
     # VMEM budget (16 MB), not MXU preference; cap blocks at the padded
-    # problem size so small inputs don't tile up to the sweep optimum
+    # problem size so small inputs don't tile up to the sweep optimum.
+    # Caps halve (tiles are powers of two ≥ rM), so rM | cN | r_chunk in the
+    # divisibility sense and every tile divides HWp = round_up(HW, max tile)
+    # — min()-capping instead broke the grid for HW in (512, 960] (cN=512
+    # did not divide HWp, and dk/dv rows past the first column block were
+    # never written).
     rM, cN, r_chunk = BWD_TILES
     hw_cap = _round_up(HW, rM)
-    cN = min(cN, hw_cap)
-    r_chunk = min(r_chunk, hw_cap)
+    while cN > max(hw_cap, rM):
+        cN //= 2
+    while r_chunk > max(hw_cap, rM):
+        r_chunk //= 2
     HWp = _round_up(HW, max(rM, cN, r_chunk))
     pad = HWp - HW
 

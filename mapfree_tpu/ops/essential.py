@@ -23,30 +23,16 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from mapfree_tpu.geom.smallblas import (det3, det_small, smallest_eigvec,
-                                        smallest_eigvecs, svd3)
+from mapfree_tpu.geom.smallblas import (det3, det_small,
+                                        f32_matmuls as _f32_matmuls,
+                                        smallest_eigvec, smallest_eigvecs,
+                                        svd3)
 from mapfree_tpu.ops.ransac import (
     inlier_mask,
     magsac_score,
     masked_sample_indices,
     msac_score,
 )
-
-
-def _f32_matmuls(fn):
-    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
-    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
-    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
-    an EXACT essential matrix came back with up to 4.4 deg of rotation
-    error). The solver FLOPs are trivial, so full precision is free."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("float32"):
-            return fn(*args, **kwargs)
-    return wrapped
-
 
 
 def normalize_keypoints(kpts, K):
@@ -124,8 +110,45 @@ _VANDER_INV = np.linalg.inv(_VANDER)  # cond ~1e3: exact-degree interpolation
 del _rng
 
 _MAX_ROOTS = 10
-_GRID = 129  # theta samples for sign-change isolation
-_SUBDIV_ROUNDS = 4  # 16-way subdivision rounds; (pi/128)/16^4 ~ 4e-7 rad
+_GRID = 257  # theta samples for sign-change isolation
+_SUBDIV_ROUNDS = 4  # 16-way subdivision rounds; (pi/256)/16^4 ~ 2e-7 rad
+
+# det M~(theta) is a bandlimited trig polynomial: det M(z) has degree <= 10
+# (columns 0-3 of M are constant in z, 4-6 linear, 7-8 quadratic, 9 cubic —
+# Nister's degree-10 resultant), so det M~ = cos^30 * det M(tan) is
+# homogeneous degree 30 in (sin, cos) with only even harmonics: 31 real
+# Fourier coefficients in phi = 2 theta. 32 equispaced samples recover them
+# EXACTLY by DFT (orthogonal — verified at 2e-6 relative, the f32 det noise),
+# after which every grid/refinement evaluation is a 31-term dot product
+# instead of a 10x10 determinant (~25x fewer det calls per minimal sample).
+_N_DET_SAMPLES = 32
+_SAMPLE_THETAS = -np.pi / 2 + (np.arange(_N_DET_SAMPLES) + 0.5) * (
+    np.pi / _N_DET_SAMPLES
+)
+
+
+def _trig_basis(thetas):
+    """[..., 31] basis [1, cos m phi..., sin m phi...] at phi = 2 theta."""
+    phi = 2.0 * np.asarray(thetas, np.float64)
+    m = np.arange(16)
+    C = np.cos(np.multiply.outer(phi, m))
+    S = np.sin(np.multiply.outer(phi, m[1:]))
+    return np.concatenate([C, S], axis=-1)
+
+
+_B_S = _trig_basis(_SAMPLE_THETAS)  # [32, 31]
+# samples -> Fourier coefficients: a_m = 2/N sum f cos(m phi) (a_0 halved)
+_DFT_MAT = (
+    np.concatenate(
+        [np.concatenate([_B_S[:, :1] * 0.5, _B_S[:, 1:16]], axis=1).T,
+         _B_S[:, 16:].T],
+        axis=0,
+    )
+    * (2.0 / _N_DET_SAMPLES)
+)  # [31, 32]
+_GRID_EPS = 1e-3
+_GRID_THETAS = np.linspace(-np.pi / 2 + _GRID_EPS, np.pi / 2 - _GRID_EPS, _GRID)
+_GRID_BASIS = _trig_basis(_GRID_THETAS)  # [_GRID, 31]
 
 
 def _nister_constraints(p, basis):
@@ -162,6 +185,15 @@ def _m_tilde(Mc, theta):
     return jnp.einsum("k,kij->ij", pows, Mc)
 
 
+def _trig_eval(coeffs, thetas):
+    """Evaluate the fitted det M~ trig polynomial at arbitrary thetas."""
+    phi = 2.0 * thetas
+    m = jnp.arange(16, dtype=thetas.dtype)
+    ang = phi[..., None] * m
+    basis = jnp.concatenate([jnp.cos(ang), jnp.sin(ang[..., 1:])], axis=-1)
+    return basis @ coeffs
+
+
 def _five_point_candidates(x0, x1):
     """Essential-matrix candidates from 5 normalized correspondences.
 
@@ -179,10 +211,14 @@ def _five_point_candidates(x0, x1):
     basis = smallest_eigvecs(A.T @ A, 4).T.reshape(4, 3, 3)
     Mc = _mz_coefficients(basis)
 
-    # sign-change isolation over theta
-    eps = 1e-3
-    thetas = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, _GRID)
-    f = det_small(jax.vmap(lambda t: _m_tilde(Mc, t))(thetas))  # [G]
+    # one batched det pass at the 32 DFT sample angles fits the 31-coeff
+    # trig polynomial exactly; the isolation grid is then a tiny matmul
+    f_samples = det_small(
+        jax.vmap(lambda t: _m_tilde(Mc, t))(jnp.asarray(_SAMPLE_THETAS, dtype))
+    )  # [32]
+    coeffs = jnp.asarray(_DFT_MAT, dtype) @ f_samples  # [31]
+    thetas = jnp.asarray(_GRID_THETAS, dtype)
+    f = jnp.asarray(_GRID_BASIS, dtype) @ coeffs  # [G]
     sign = jnp.where(f >= 0, 1.0, -1.0)
     is_bracket = sign[:-1] * sign[1:] < 0  # [G-1]
     # earliest _MAX_ROOTS brackets (fixed shape)
@@ -207,9 +243,7 @@ def _five_point_candidates(x0, x1):
     def refine(carry, _):
         lo, hi = carry  # [_MAX_ROOTS]
         ts = lo[:, None] + (hi - lo)[:, None] * offs[None, :]  # [R, 16]
-        fs = det_small(
-            jax.vmap(lambda t: _m_tilde(Mc, t))(ts.reshape(-1))
-        ).reshape(ts.shape)
+        fs = _trig_eval(coeffs, ts.reshape(-1)).reshape(ts.shape)
         signs = jnp.where(fs >= 0, 1.0, -1.0)
         # bracket invariant: sign(lo) == s_lo, sign(hi) == -s_lo; the root
         # lies before the FIRST interior point whose sign differs from s_lo
@@ -644,6 +678,47 @@ def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
     t = jnp.where(valid[:, None], t, nan)
     n = jnp.where(valid, n, 0)
     return {"R": R, "t": t, "inliers": n, "inlier_mask": inl, "valid": valid}
+
+
+def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
+                            n_iters: int = 512, cheap_factor: int = 4,
+                            max_fail_prob: float = 0.01):
+    """Two-tier batched essential-matrix estimation (host-level driver).
+
+    OpenCV's USAC terminates adaptively once enough iterations ran for the
+    observed inlier ratio (reference pose_solver.py:46-48, prob=0.9999); a
+    fixed-shape TPU dispatch cannot early-exit, so this mirrors the effect
+    with a compile-count ladder: dispatch the cheap budget (n_iters /
+    cheap_factor) for the whole batch, read back each pair's inlier ratio w,
+    and re-solve at the full budget only when the cheap tier's probability of
+    having missed every all-inlier sample — (1-w^5)^n5 (1-w^8)^n8 — exceeds
+    ``max_fail_prob``. Easy batches (low outlier ratios) never pay for the
+    full budget; hard ones get it.
+
+    Same contract as :func:`essential_pose`.
+    """
+    cheap = max(n_iters // cheap_factor, 32)
+    k1, k2 = jax.random.split(key)
+    out1 = essential_pose(k1, kpts0, kpts1, mask, K0, K1, pix_threshold,
+                          n_iters=cheap)
+
+    n_valid = np.maximum(np.asarray(jnp.sum(mask, axis=1)), 1)
+    n_inl = np.asarray(jnp.sum(out1["inlier_mask"] & mask, axis=1))
+    w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
+    n5, n8 = max(cheap // 4, 32), cheap
+    log_fail = n5 * np.log1p(-(w**5)) + n8 * np.log1p(-(w**8))
+    need_full = (log_fail > np.log(max_fail_prob)) & np.asarray(out1["valid"])
+    if not need_full.any():
+        return out1
+
+    out2 = essential_pose(k2, kpts0, kpts1, mask, K0, K1, pix_threshold,
+                          n_iters=n_iters)
+    sel = jnp.asarray(need_full)
+
+    def pick(a, b):
+        return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
+
+    return {k: pick(out1[k], out2[k]) for k in out1}
 
 
 def gather_depth(depth, kpts):

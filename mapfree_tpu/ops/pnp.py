@@ -16,24 +16,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from mapfree_tpu.geom.smallblas import det3, smallest_eigvecs, svd3
-
-
-def _f32_matmuls(fn):
-    """Trace with full-float32 matmul precision: XLA's default f32 matmul on
-    TPU rounds operands through bfloat16 — harmless for convs, catastrophic
-    for 3x3 rotation algebra and Sampson residuals (a decompose_E built from
-    an EXACT essential matrix came back with up to 4.4 deg of rotation
-    error). The solver FLOPs are trivial, so full precision is free."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("float32"):
-            return fn(*args, **kwargs)
-    return wrapped
-
-
+from mapfree_tpu.geom.smallblas import (det3, f32_matmuls as _f32_matmuls,
+                                        smallest_eigvecs, svd3)
 from mapfree_tpu.geom.rotation import inv_rodrigues, rodrigues
 from mapfree_tpu.ops.ransac import masked_sample_indices
 

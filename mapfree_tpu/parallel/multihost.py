@@ -110,6 +110,8 @@ def run_sharded_sweep(cfg, split: str, out_root, model=None,
             dataset,
             batch_size=int(shard_cfg.TPU.INFER_BATCH),
             num_workers=shard_cfg.TRAINING.NUM_WORKERS or 2,
+            unique_refs=(shard_cfg.MODEL == "Regression"
+                         and int(shard_cfg.TPU.UNIQUE_REFS) > 0),
         )
         if model is None:
             model = build_model(shard_cfg)

@@ -36,49 +36,85 @@ class Pose:
         return f"{self.image_name} {q_str} {t_str} {self.inliers}"
 
 
-def predict(loader, model):
+def predict(loader, model, times=None):
     """Run the model over a loader; returns dict scene -> [Pose].
 
-    When the model exposes ``predict_batch_async`` (the jitted regression
-    path), up to PIPELINE_DEPTH batches are kept in flight so host decode,
-    H2D transfer, device compute and pose extraction overlap — the sweep
-    runs at the speed of the slowest stage instead of their sum."""
+    When the model exposes the ``transfer_batch``/``dispatch_device`` split
+    (the jitted regression path), the sweep runs as a three-stage pipeline:
+    a worker thread ships batches to the device (H2D is the dominant cost on
+    a remote-tunnel link), the main thread issues compute dispatches in
+    order, and up to ``depth`` in-flight batches defer their D2H fetch — so
+    decode, transfer, compute, and pose extraction overlap and the sweep
+    runs at the speed of the slowest stage instead of their sum.
+
+    ``times`` (a :class:`mapfree_tpu.utils.timing.StageTimes`) collects the
+    per-stage busy-time breakdown the round-2 sweep lacked.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mapfree_tpu.utils.timing import NULL_TIMES
+
+    times = times or NULL_TIMES
     results_dict = defaultdict(list)
-    dispatch = getattr(model, "predict_batch_async", None)
-    depth = 3
 
     def consume(meta, fetch):
         scene_ids, pair_names = meta
         R, t, inliers = fetch()
-        for i in range(R.shape[0]):
-            Ri = np.asarray(R[i], np.float64)
-            ti = np.asarray(t[i], np.float64).reshape(-1)
-            if np.isnan(Ri).any() or np.isnan(ti).any() or np.isinf(ti).any():
-                continue  # no estimate for this frame -> failure downstream
-            query_img = pair_names[i][1]
-            if isinstance(query_img, (tuple, list)):
-                query_img = query_img[-1]  # multi-frame: the query frame
-            results_dict[scene_ids[i]].append(
-                Pose(
-                    image_name=query_img,
-                    q=mat2quat(Ri).reshape(-1),
-                    t=ti.reshape(-1),
-                    inliers=float(np.asarray(inliers[i])),
+        with times.stage("pose_extract"):
+            for i in range(R.shape[0]):
+                Ri = np.asarray(R[i], np.float64)
+                ti = np.asarray(t[i], np.float64).reshape(-1)
+                if np.isnan(Ri).any() or np.isnan(ti).any() or np.isinf(ti).any():
+                    continue  # no estimate for this frame -> failure downstream
+                query_img = pair_names[i][1]
+                if isinstance(query_img, (tuple, list)):
+                    query_img = query_img[-1]  # multi-frame: the query frame
+                results_dict[scene_ids[i]].append(
+                    Pose(
+                        image_name=query_img,
+                        q=mat2quat(Ri).reshape(-1),
+                        t=ti.reshape(-1),
+                        inliers=float(np.asarray(inliers[i])),
+                    )
                 )
-            )
 
+    transfer = getattr(model, "transfer_batch", None)
+    if transfer is None:  # matching track: host/solver hybrid, plain loop
+        for batch in loader:
+            meta = (batch["scene_id"], batch["pair_names"])
+            with times.stage("solve"):
+                r = model.predict_batch(batch)
+            consume(meta, lambda r=r: r)
+        return results_dict
+
+    depth = 3          # dispatched batches awaiting their D2H fetch
+    max_transfers = 3  # batches being shipped host->device (2 worker threads
+    #                    overlap tunnel round-trips; a 3rd queued batch keeps
+    #                    a worker busy the moment one finishes)
     pending = []
-    for batch in loader:
-        meta = (batch["scene_id"], batch["pair_names"])
-        if dispatch is None:
-            R, t, inliers = model.predict_batch(batch)
-            consume(meta, lambda r=(R, t, inliers): r)
-            continue
-        pending.append((meta, dispatch(batch)))
-        if len(pending) > depth:
-            consume(*pending.pop(0))
-    for item in pending:
-        consume(*item)
+    inflight = []
+    it = iter(loader)
+    exhausted = False
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        while not exhausted or inflight or pending:
+            while not exhausted and len(inflight) < max_transfers:
+                with times.stage("load_wait"):
+                    batch = next(it, None)
+                if batch is None:
+                    exhausted = True
+                    break
+                meta = (batch["scene_id"], batch["pair_names"])
+                inflight.append(
+                    (meta, ex.submit(model.transfer_batch, batch, times)))
+            if inflight:
+                meta, fut = inflight.pop(0)
+                with times.stage("transfer_wait"):
+                    transferred = fut.result()
+                pending.append((meta, model.dispatch_device(transferred, times)))
+                while len(pending) > depth:
+                    consume(*pending.pop(0))
+            elif pending:
+                consume(*pending.pop(0))
     return results_dict
 
 

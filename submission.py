@@ -43,8 +43,11 @@ def eval(args):
         from mapfree_tpu.data import DataLoader
 
         dataset = dm.dataset_type(cfg, "val")
-        dataloader = DataLoader(dataset, batch_size=batch,
-                                num_workers=cfg.TRAINING.NUM_WORKERS or 2)
+        dataloader = DataLoader(
+            dataset, batch_size=batch,
+            num_workers=cfg.TRAINING.NUM_WORKERS or 2,
+            unique_refs=(cfg.MODEL == "Regression"
+                         and int(cfg.TPU.UNIQUE_REFS) > 0))
     else:
         raise NotImplementedError(f"Invalid split: {args.split}")
 

@@ -73,6 +73,27 @@ class TestFusedCorrelation:
         for a, b in zip(g1, g2):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
+    def test_custom_vjp_mid_window_hw(self):
+        """HW=576 (24x24) sits in (512, 960]: the backward column/row tiles
+        must still tile the padded problem exactly (a min()-capped cN=512
+        once left dk/dv rows 512.. unwritten here)."""
+        q, k, v, grid = self._data(B=1, H=24, W=24, C=8)
+
+        def loss_fused(q, k, v):
+            w, p, m = fused_correlation_warp(q, k, v, grid, True)
+            return jnp.sum(w**2) + jnp.sum(p * 0.3) + jnp.sum(m**2)
+
+        def loss_ref(q, k, v):
+            w, p, m = reference_math(q, k, v, grid)
+            return jnp.sum(w**2) + jnp.sum(p * 0.3) + jnp.sum(m**2)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            arr = np.asarray(a)
+            assert np.all(np.isfinite(arr))
+            assert np.allclose(arr, np.asarray(b), atol=1e-3)
+
     def test_bf16_inputs(self):
         q, k, v, grid = self._data()
         warped, pos, ms = fused_correlation_warp(

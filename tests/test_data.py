@@ -148,6 +148,28 @@ class TestDatasetAndLoader:
             np.testing.assert_allclose(sample["T_0to1"], ref["T_0to1"])
             assert sample["pair_names"] == ref["pair_names"]
 
+    def test_getbatch_dedups_refs_and_matches_collate(self, tmp_path):
+        """The batch-level fast path must agree with collate(getitems) on
+        every field, with image0 factored into unique refs + gather index."""
+        from mapfree_tpu.data.loader import collate
+
+        for i in range(2):
+            make_scene(tmp_path / "val" / f"s{i:05}", n_queries=12, seed=i)
+        c = self._make_cfg(tmp_path)
+        ds = MapFreeDataset(c, "val")
+        idx = [0, 1, 2, 3]  # straddles both scenes (3 pairs + 1)
+        fast = ds.getbatch(idx)
+        assert fast is not None
+        ref = collate(ds.getitems(idx))
+
+        assert fast["image0_unique"].shape[0] == 2  # one ref per scene
+        image0 = fast["image0_unique"][fast["ref_idx"]]
+        np.testing.assert_array_equal(image0, ref["image0"])
+        np.testing.assert_array_equal(fast["image1"], ref["image1"])
+        np.testing.assert_allclose(fast["T_0to1"], ref["T_0to1"])
+        assert fast["pair_names"] == ref["pair_names"]
+        assert fast["scene_id"] == ref["scene_id"]
+
     def test_scene_balanced_sampler(self, tmp_path):
         make_scene(tmp_path / "train" / "a", n_queries=20, train=True, seed=0)
         make_scene(tmp_path / "train" / "b", n_queries=4, train=True, seed=1)

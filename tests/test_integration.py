@@ -83,6 +83,41 @@ class TestRegressionSubmission:
         assert np.isfinite(metrics["Average Median Translation Error"])
 
 
+class TestUniqueRefSweep:
+    def test_unique_ref_path_matches_standard(self, tmp_path):
+        """The deduped-ref sweep (image0_unique + on-device gather) must
+        produce the same poses as the per-pair image0 path."""
+        for i in range(2):
+            make_scene(tmp_path / "val" / f"s{i:05}", n_queries=10,
+                       img_hw=(H, W), seed=i)
+        cfg = base_cfg(
+            tmp_path,
+            MODEL="Regression",
+            **{
+                "ENCODER.TYPE": "ResUNet", "ENCODER.BLOCK_TYPE": 0,
+                "ENCODER.NUM_BLOCKS": "1-1-1", "ENCODER.NUM_OUT_LAYERS": 8,
+                "AGGREGATOR.TYPE": "CorrelationVolumeWarping",
+                "AGGREGATOR.POSITION_ENCODER": True,
+                "AGGREGATOR.MAX_SCORE_CHANNEL": True,
+                "HEAD.TYPE": "ProcrustesDeepResBlock", "HEAD.ADD_BASIS": True,
+                "HEAD.AVG_POOL": True,
+            },
+        )
+        dataset = MapFreeDataset(cfg, "val")
+        model = build_model(cfg)
+        results_std = predict(
+            DataLoader(dataset, batch_size=4, num_workers=2), model)
+        results_uni = predict(
+            DataLoader(dataset, batch_size=4, num_workers=2,
+                       unique_refs=True), model)
+        assert set(results_std) == set(results_uni)
+        for scene in results_std:
+            for a, b in zip(results_std[scene], results_uni[scene]):
+                assert a.image_name == b.image_name
+                np.testing.assert_allclose(a.q, b.q, atol=1e-5)
+                np.testing.assert_allclose(a.t, b.t, atol=1e-5)
+
+
 def _make_consistent_scene(root, n_queries=10, seed=3):
     """Scene where depth maps and precomputed correspondences are consistent
     with the GT poses: non-planar depth surface back-projected from view0,

@@ -179,6 +179,25 @@ class TestEssential:
         assert np.max(rot_errs) < 8.0, rot_errs
         assert np.median(t_errs) < 6.0, t_errs
 
+    def test_adaptive_budget_matches_fixed(self):
+        """Two-tier ladder (essential_pose_adaptive): an easy pair settles at
+        the cheap tier, a hard one escalates to the full budget — accuracy
+        must hold for both in one mixed batch."""
+        from mapfree_tpu.ops.essential import essential_pose_adaptive
+
+        easy = synth_pair(n_points=200, seed=21)
+        hard = synth_pair(n_points=200, n_outliers=100, noise=0.5, seed=22)
+        k0 = jnp.asarray(np.stack([easy[0], hard[0]]))
+        k1 = jnp.asarray(np.stack([easy[1], hard[1]]))
+        mask = jnp.asarray(np.stack([easy[2], hard[2]]))
+        Ks = jnp.asarray(np.tile(K, (2, 1, 1)))
+        out = essential_pose_adaptive(
+            jax.random.PRNGKey(3), k0, k1, mask, Ks, Ks, 2.0, n_iters=512)
+        assert rot_err_deg(np.asarray(out["R"][0]), easy[3]) < 1.5
+        assert t_dir_err_deg(np.asarray(out["t"][0]), easy[4]) < 2.0
+        assert rot_err_deg(np.asarray(out["R"][1]), hard[3]) < 4.0
+        assert t_dir_err_deg(np.asarray(out["t"][1]), hard[4]) < 8.0
+
     def test_too_few_points_nan(self):
         k0 = np.zeros((1, 16, 2), np.float32)
         k1 = np.zeros((1, 16, 2), np.float32)

@@ -1,15 +1,19 @@
 """Full-forward weight-conversion parity against the ACTUAL reference torch
-modules (VERDICT r1 item 5).
+modules, across the reference's complete variant matrix (VERDICT r1 item 5,
+r2 item 3).
 
 Imports the reference implementation read-only from /root/reference (its
-regression modules depend only on torch + kornia, the latter stubbed: it is
-only called by quaternion heads, which are not under test here), builds the
-3d3d architecture (reference config/regression/mapfree/3d3d.yaml) with random
+regression modules depend only on torch + kornia + scipy; kornia is stubbed
+with a faithful wxyz quaternion_to_rotation_matrix matching kornia 0.7.2, the
+version environment.yml pins), builds each architecture variant with random
 torch weights, converts the state_dict with tools/convert_weights.py, and
 asserts the flax forward reproduces the torch R, t to float32 tolerance.
 
-This closes SURVEY build-plan step 5 on the real module graph (reference
-lib/models/regression/model.py:64-73), not just per-layer layouts.
+Variant coverage mirrors the reference builder's dispatch surface
+(reference lib/models/regression/model.py:22-51): both encoders x block
+types (encoder/resnet.py:10-11, encoder/preact.py:13-96), all three
+aggregators with every ablation flag (aggregator.py:6-200), and all six
+heads (head.py:53-323).
 """
 
 import sys
@@ -28,14 +32,24 @@ if not REFERENCE.exists():  # pragma: no cover
 
 
 def _install_kornia_stub():
-    """The reference head module imports kornia at module level but only the
-    quaternion heads call it; this image does not ship kornia."""
+    """The reference head module imports kornia; this image does not ship it.
+    The quaternion heads call quaternion_to_rotation_matrix, which in the
+    pinned kornia==0.7.2 (reference environment.yml:29) takes (w, x, y, z)
+    quaternions — reimplemented here with the standard formula so those heads
+    run under test."""
     if "kornia" in sys.modules:
         return
     conv = types.ModuleType("kornia.geometry.conversions")
 
-    def quaternion_to_rotation_matrix(q):  # pragma: no cover
-        raise NotImplementedError("kornia stub: quaternion heads not under test")
+    def quaternion_to_rotation_matrix(q):
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        row0 = torch.stack(
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1)
+        row1 = torch.stack(
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)], -1)
+        row2 = torch.stack(
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)], -1)
+        return torch.stack([row0, row1, row2], dim=-2)
 
     conv.quaternion_to_rotation_matrix = quaternion_to_rotation_matrix
     geometry = types.ModuleType("kornia.geometry")
@@ -70,40 +84,39 @@ _install_transforms3d_stub()
 if str(REFERENCE) not in sys.path:
     sys.path.insert(0, str(REFERENCE))
 
-from lib.models.regression.aggregator import (  # noqa: E402
-    CorrelationVolumeWarping as TorchCVW,
-    CorrelationVolumeWarpingQKV as TorchQKV,
-)
+import lib.models.regression.aggregator as torch_agg  # noqa: E402
+import lib.models.regression.head as torch_head  # noqa: E402
+from lib.models.regression.encoder.resnet import ResNet as TorchResNet  # noqa: E402
 from lib.models.regression.encoder.resunet import ResUNet as TorchResUNet  # noqa: E402
-from lib.models.regression.head import (  # noqa: E402
-    ProcrustesDeepResBlock as TorchProcrustesHead,
-)
 
 from mapfree_tpu.config import cfg as default_cfg  # noqa: E402
 from mapfree_tpu.models import build_regression_net  # noqa: E402
 from mapfree_tpu.tools.convert_weights import convert_state_dict  # noqa: E402
 
-H = W = 96  # smaller than train res; architecture identical to 3d3d
+H = W = 96  # smaller than train res; architectures identical to the configs
 
 
-def flax_cfg(dustbin=False, qkv=False):
+def flax_cfg(h=H, w=W, **over):
     c = default_cfg.clone()
     c.merge_from_file("configs/mapfree.yaml")
     c.merge_from_file("configs/regression/mapfree/3d3d.yaml")
-    c.DATASET.HEIGHT = H
-    c.DATASET.WIDTH = W
+    c.DATASET.HEIGHT = h
+    c.DATASET.WIDTH = w
     c.TPU.COMPUTE_DTYPE = "float32"
     c.TPU.FUSED_CORRELATION = False
-    if dustbin:
-        c.AGGREGATOR.DUSTBIN = True
-    if qkv:
-        c.AGGREGATOR.TYPE = "CorrelationVolumeWarpingQKV"
+    for k, v in over.items():
+        node = c
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
     return c
 
 
 def torch_model(cfg):
-    """The reference RegressionModel's three submodules, wired exactly as its
-    forward does (reference model.py:22-51, 64-73)."""
+    """The reference RegressionModel's three submodules, dispatched exactly
+    as its constructor does (reference model.py:22-51: eval() over
+    ENCODER.TYPE / AGGREGATOR.TYPE / HEAD.TYPE)."""
     enc_cfg = NS(
         BLOCK_TYPE=cfg.ENCODER.BLOCK_TYPE,
         NUM_BLOCKS=cfg.ENCODER.NUM_BLOCKS,
@@ -114,39 +127,42 @@ def torch_model(cfg):
         POSITION_ENCODER=bool(cfg.AGGREGATOR.POSITION_ENCODER),
         POSITION_ENCODER_IM1=bool(cfg.AGGREGATOR.POSITION_ENCODER_IM1),
         MAX_SCORE_CHANNEL=bool(cfg.AGGREGATOR.MAX_SCORE_CHANNEL),
-        CV_OUTLAYERS=int(cfg.AGGREGATOR.CV_OUTLAYERS),
+        CV_OUTLAYERS=int(cfg.AGGREGATOR.CV_OUTLAYERS or 0),
         CV_HALF_CHANNELS=bool(cfg.AGGREGATOR.CV_HALF_CHANNELS),
-        UPSAMPLE_POS_ENC=int(cfg.AGGREGATOR.UPSAMPLE_POS_ENC),
+        UPSAMPLE_POS_ENC=int(cfg.AGGREGATOR.UPSAMPLE_POS_ENC or 0),
         DUSTBIN=bool(cfg.AGGREGATOR.DUSTBIN),
         NORMALISE_DOT=bool(cfg.AGGREGATOR.NORMALISE_DOT),
         RESIDUAL_ATT=bool(cfg.AGGREGATOR.RESIDUAL_ATT),
     )
     head_cfg = NS(
-        DATASET=NS(HEIGHT=H, WIDTH=W),
+        DATASET=NS(HEIGHT=cfg.DATASET.HEIGHT, WIDTH=cfg.DATASET.WIDTH),
         HEAD=NS(
             BATCH_NORM=bool(cfg.HEAD.BATCH_NORM),
             AVG_POOL=bool(cfg.HEAD.AVG_POOL),
             ADD_BASIS=bool(cfg.HEAD.ADD_BASIS),
             NUM_PTS=int(cfg.HEAD.NUM_PTS),
+            SEPARATE_SCALE=bool(cfg.HEAD.SEPARATE_SCALE),
         ),
     )
 
     torch.manual_seed(0)
-    encoder = TorchResUNet(enc_cfg)
-    agg_cls = TorchQKV if cfg.AGGREGATOR.TYPE.endswith("QKV") else TorchCVW
-    aggregator = agg_cls(agg_cfg, encoder.num_out_layers)
-    head = TorchProcrustesHead(head_cfg, aggregator.num_out_layers)
+    enc_cls = {"ResNet": TorchResNet, "ResUNet": TorchResUNet}[cfg.ENCODER.TYPE]
+    encoder = enc_cls(enc_cfg)
+    aggregator = getattr(torch_agg, cfg.AGGREGATOR.TYPE)(
+        agg_cfg, encoder.num_out_layers)
+    head = getattr(torch_head, cfg.HEAD.TYPE)(
+        head_cfg, aggregator.num_out_layers)
     for m in (encoder, aggregator, head):
         m.eval()
     return encoder, aggregator, head
 
 
-def run_torch(encoder, aggregator, head, im0, im1):
+def run_torch(encoder, aggregator, head, im0, im1, data):
     with torch.no_grad():
         vol0 = encoder(torch.from_numpy(im0))
         vol1 = encoder(torch.from_numpy(im1))
         gv = aggregator(vol0, vol1)
-        R, t = head(gv, data=None)
+        R, t = head(gv, data=data)
     return R.numpy(), t.numpy()
 
 
@@ -159,20 +175,71 @@ def combined_state_dict(encoder, aggregator, head):
     return state
 
 
-@pytest.mark.parametrize("variant", ["3d3d", "dustbin", "qkv"])
+# Each variant mirrors a reference config family (configs under
+# /root/reference/config/regression/**) or a builder-reachable combination.
+VARIANTS = {
+    "3d3d": {},
+    "dustbin": {"AGGREGATOR.DUSTBIN": True},
+    "qkv": {"AGGREGATOR.TYPE": "CorrelationVolumeWarpingQKV"},
+    # scannet/3d3d_qkv.yaml uses RESIDUAL_ATT implicitly False; exercise True
+    "qkv_residual": {"AGGREGATOR.TYPE": "CorrelationVolumeWarpingQKV",
+                     "AGGREGATOR.RESIDUAL_ATT": True,
+                     "AGGREGATOR.NORMALISE_DOT": True},
+    # mapfree/3d3d_no_warping.yaml
+    "no_warping": {"AGGREGATOR.TYPE": "Concat"},
+    # mapfree/3d3d_no_posencoder.yaml
+    "no_posenc": {"AGGREGATOR.POSITION_ENCODER": False},
+    # scannet/3d3d_half_cv.yaml (includes dual posenc)
+    "half_cv": {"AGGREGATOR.CV_HALF_CHANNELS": True,
+                "AGGREGATOR.POSITION_ENCODER_IM1": True},
+    # scannet/3d3d_dual_posenc.yaml
+    "dual_posenc": {"AGGREGATOR.POSITION_ENCODER_IM1": True},
+    # scannet/3d3d_dual_posenc_upsampling.yaml
+    "dual_posenc_upsampling": {"AGGREGATOR.POSITION_ENCODER_IM1": True,
+                               "AGGREGATOR.UPSAMPLE_POS_ENC": 8},
+    # scannet/3d3d_no_avgpool.yaml
+    "no_avgpool": {"HEAD.AVG_POOL": False},
+    # builder-reachable encoder variants (reference resnet.py:10-11)
+    "resnet_block0": {"ENCODER.TYPE": "ResNet", "ENCODER.BLOCK_TYPE": 0,
+                      "ENCODER.NUM_BLOCKS": "2-2-2", "_res": (128, 128)},
+    "resnet_block1": {"ENCODER.TYPE": "ResNet", "ENCODER.BLOCK_TYPE": 1,
+                      "ENCODER.NUM_BLOCKS": "2-2-2", "_res": (128, 128)},
+    # mapfree/rotquat_trans.yaml / rotquat_transdirection_scale.yaml
+    "rotquat_trans": {"HEAD.TYPE": "QuatDeepResBlock",
+                      "HEAD.SEPARATE_SCALE": False},
+    "rotquat_direction_scale": {"HEAD.TYPE": "QuatDeepResBlock",
+                                "HEAD.SEPARATE_SCALE": True},
+    # mapfree/rot6d_trans.yaml
+    "rot6d_trans": {"HEAD.TYPE": "DirectDeepResBlockMLP"},
+    "rot6d_shallow": {"HEAD.TYPE": "DirectResBlockMLP"},
+    "procrustes_shallow": {"HEAD.TYPE": "ProcrustesResBlockMLP"},
+    # mapfree/rotbin_trans.yaml / rotbin_transdirectionbin_scale.yaml
+    "rotbin_trans": {"HEAD.TYPE": "AngularBinsDeepResBlockMLP",
+                     "HEAD.SEPARATE_SCALE": False},
+    "rotbin_directionbin_scale": {"HEAD.TYPE": "AngularBinsDeepResBlockMLP",
+                                  "HEAD.SEPARATE_SCALE": True},
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
 def test_full_forward_parity(variant):
     import jax
 
-    cfg = flax_cfg(dustbin=variant == "dustbin", qkv=variant == "qkv")
+    over = dict(VARIANTS[variant])
+    h, w = over.pop("_res", (H, W))
+    cfg = flax_cfg(h=h, w=w, **over)
     encoder, aggregator, head = torch_model(cfg)
 
     rng = np.random.default_rng(1)
     B = 2
-    im_nchw0 = rng.normal(size=(B, 3, H, W)).astype(np.float32)
-    im_nchw1 = rng.normal(size=(B, 3, H, W)).astype(np.float32)
+    im_nchw0 = rng.normal(size=(B, 3, h, w)).astype(np.float32)
+    im_nchw1 = rng.normal(size=(B, 3, h, w)).astype(np.float32)
 
-    # materialise the head's LazyLinear before reading the state_dict
-    R_torch, t_torch = run_torch(encoder, aggregator, head, im_nchw0, im_nchw1)
+    # materialise the head's LazyLinear before reading the state_dict; the
+    # quat/bins heads also write aux predictions into `data`
+    torch_data = {}
+    R_torch, t_torch = run_torch(
+        encoder, aggregator, head, im_nchw0, im_nchw1, torch_data)
 
     net = build_regression_net(cfg)
     im0 = np.transpose(im_nchw0, (0, 2, 3, 1))
@@ -180,10 +247,49 @@ def test_full_forward_parity(variant):
     variables = net.init(jax.random.PRNGKey(0), im0, im1, train=False)
     converted = convert_state_dict(combined_state_dict(encoder, aggregator, head),
                                    variables)
-    R_flax, t_flax, _ = net.apply(converted, im0, im1, train=False)
+    R_flax, t_flax, aux = net.apply(converted, im0, im1, train=False)
     R_flax = np.asarray(R_flax)
     t_flax = np.asarray(t_flax).reshape(t_torch.shape)
 
-    # float32 forward through ~60 layers + SVD: agreement to ~1e-4
+    # float32 forward through ~60 layers (+ SVD for Procrustes heads):
+    # agreement to ~1e-4
     np.testing.assert_allclose(R_flax, R_torch, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(t_flax, t_torch, atol=2e-4, rtol=1e-3)
+
+    # heads that emit aux predictions must agree on those too (they feed the
+    # loss registry: q, scale, direction, rotation/translation bins)
+    aux_map = {"q": "q", "scale": "scale", "t_direction": "t_direction",
+               "R_bins": "R_bins", "t_sph_phi": "t_sph_phi",
+               "t_sph_theta": "t_sph_theta"}
+    for k_torch, k_flax in aux_map.items():
+        if k_torch in torch_data and k_flax in aux:
+            np.testing.assert_allclose(
+                np.asarray(aux[k_flax]).reshape(torch_data[k_torch].shape),
+                torch_data[k_torch].numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_cv_outlayers_parity():
+    """CV_OUTLAYERS compresses the correlation volume with a PreActBlock whose
+    input width the reference hardcodes to 4800 = (240/4)x(320/4)
+    (aggregator.py:26): parity must run at that feature resolution."""
+    import jax
+
+    cfg = flax_cfg(h=240, w=320, **{"AGGREGATOR.CV_OUTLAYERS": 16})
+    encoder, aggregator, head = torch_model(cfg)
+
+    rng = np.random.default_rng(2)
+    im_nchw0 = rng.normal(size=(1, 3, 240, 320)).astype(np.float32)
+    im_nchw1 = rng.normal(size=(1, 3, 240, 320)).astype(np.float32)
+    R_torch, t_torch = run_torch(
+        encoder, aggregator, head, im_nchw0, im_nchw1, {})
+
+    net = build_regression_net(cfg)
+    im0 = np.transpose(im_nchw0, (0, 2, 3, 1))
+    im1 = np.transpose(im_nchw1, (0, 2, 3, 1))
+    variables = net.init(jax.random.PRNGKey(0), im0, im1, train=False)
+    converted = convert_state_dict(
+        combined_state_dict(encoder, aggregator, head), variables)
+    R_flax, t_flax, _ = net.apply(converted, im0, im1, train=False)
+    np.testing.assert_allclose(np.asarray(R_flax), R_torch, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(t_flax).reshape(t_torch.shape), t_torch, atol=5e-4, rtol=1e-3)
