@@ -23,6 +23,7 @@ from __future__ import annotations
 import itertools
 import os
 import time
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -457,54 +458,69 @@ def cal_abs_pose_err_metric(pair_data, err_thres=(2, 5), loc_results=None):
     )
 
 
+@dataclass
+class SceneEval:
+    """One scene's evaluation row — the unit both eval pipelines aggregate.
+
+    rela_* are median relative-pose errors; abs_* are median fused absolute
+    errors; ``passed`` holds the DSAC pass rate (%) per error threshold."""
+
+    name: str
+    rela_t_deg: float
+    rela_q_deg: float
+    abs_t_m: float
+    abs_t_deg: float
+    abs_r_deg: float
+    passed: np.ndarray
+    ap: float = float("nan")
+
+    def errors(self) -> np.ndarray:
+        return np.array([self.rela_t_deg, self.rela_q_deg, self.abs_t_m,
+                         self.abs_t_deg, self.abs_r_deg])
+
+    def summary(self) -> str:
+        return (
+            f"rela_err (t{self.rela_t_deg:.2f}deg, r{self.rela_q_deg:.2f}deg)"
+            f" abs err: (t{self.abs_t_m:.2f}m/{self.abs_t_deg:.2f}deg, "
+            f"r{self.abs_r_deg:.2f}deg), "
+            "Recall: " + "/".join(f"{v:.2f}%" for v in self.passed)
+            + f". AP: {self.ap:.2f}"
+        )
+
+
+def _aggregate(rows):
+    """Mean of per-scene error vectors and pass rates."""
+    errs = tuple(np.mean(np.stack([r.errors() for r in rows]), axis=0))
+    passed = np.mean(np.stack([np.asarray(r.passed) for r in rows]), axis=0)
+    return errs, passed
+
+
 def eval_pipeline_without_ransac(result_dict, err_thres=(2, 5), log=None,
                                  save_res_path=None):
-    """(reference localize.py:164-208)"""
-    avg_rela_t_err, avg_rela_q_err = [], []
-    avg_abs_c_dist_err, avg_abs_c_ang_err, avg_abs_q_err = [], [], []
-    avg_passed = []
-
-    loc_results_dict = {}
-    for dataset in result_dict:
-        loc_results_dict[dataset] = {} if save_res_path else None
-        pair_data = result_dict[dataset]["pair_data"]
-        failures = result_dict[dataset]["no_pt_pairs"]
-        print(
-            f">>Testing dataset: {dataset}, testing samples: {len(pair_data)}, "
-            f"failures {len(failures)}"
-        )
-
-        rela_t_err, rela_q_err = cal_rela_pose_err(pair_data)
-        avg_rela_t_err.append(rela_t_err)
-        avg_rela_q_err.append(rela_q_err)
-
-        abs_c_dist_err, abs_c_ang_err, abs_q_err, passed, ap = cal_abs_pose_err_metric(
-            pair_data, err_thres, loc_results_dict[dataset]
-        )
-        avg_abs_c_dist_err.append(abs_c_dist_err)
-        avg_abs_c_ang_err.append(abs_c_ang_err)
-        avg_abs_q_err.append(abs_q_err)
-        avg_passed.append(passed)
-
-        print(
-            "rela_err (t{:.2f}deg, r{:.2f}deg) abs err: (t{:.2f}m/{:.2f}deg, "
-            "r{:.2f}deg), Recall: {}. AP: {:.2f}".format(
-                rela_t_err, rela_q_err, abs_c_dist_err, abs_c_ang_err, abs_q_err,
-                "/".join(f"{v:.2f}%" for v in passed), ap,
-            )
-        )
+    """Multi-reference fusion eval, no RANSAC: per query, geometric median of
+    positions + chordal-L2 rotation mean over all reference pairs (printed
+    numerics match reference localize.py:164-208; the flow is one SceneEval
+    row per scene aggregated by :func:`_aggregate`)."""
+    rows = []
+    saved = {}
+    for name, data in result_dict.items():
+        loc = {} if save_res_path else None
+        print(f">>Testing dataset: {name}, "
+              f"testing samples: {len(data['pair_data'])}, "
+              f"failures {len(data['no_pt_pairs'])}")
+        rela_t, rela_q = cal_rela_pose_err(data["pair_data"])
+        abs_t, abs_t_ang, abs_r, passed, ap = cal_abs_pose_err_metric(
+            data["pair_data"], err_thres, loc)
+        row = SceneEval(name, rela_t, rela_q, abs_t, abs_t_ang, abs_r,
+                        np.asarray(passed), ap)
+        rows.append(row)
+        saved[name] = loc
+        print(row.summary())
 
     if save_res_path:
-        np.save(save_res_path, loc_results_dict)
+        np.save(save_res_path, saved)
 
-    avg_passed = np.stack(avg_passed).mean(axis=0)
-    eval_val = (
-        np.mean(avg_rela_t_err),
-        np.mean(avg_rela_q_err),
-        np.mean(avg_abs_c_dist_err),
-        np.mean(avg_abs_c_ang_err),
-        np.mean(avg_abs_q_err),
-    )
+    eval_val, avg_passed = _aggregate(rows)
     print(
         ">>avg_rela_err (t{v[0]:.2f}deg, r{v[1]:.2f}deg) avg_abs_err "
         "(t{v[2]:.2f}m/{v[3]:.2f}deg, r{v[4]:.2f}deg). Pass:".format(v=eval_val)
@@ -676,49 +692,62 @@ def ransac(pair_data, inlier_thres, thres_multiplier=1.414, in_iter=10,
     )
 
 
+def _ransac_scene_row(name, pair_data, thres, ransac_iter, pair_type,
+                      err_thres, loc_results):
+    """Run pose-graph RANSAC for one scene -> (SceneEval, Bad/All string)."""
+    tested_num, approx_queries, pass_rate, err_res = ransac(
+        pair_data, thres, in_iter=ransac_iter, pair_type=pair_type,
+        err_thres=err_thres, loc_results=loc_results)
+    row = SceneEval(name, *err_res, np.asarray(pass_rate))
+    return row, f"{len(approx_queries)}/{tested_num}"
+
+
+def _ransac_summary(prefix, errs, passed) -> str:
+    return (
+        f"{prefix}Rela:(t{errs[0]:.2f}deg, r{errs[1]:.2f}deg) "
+        f"Abs:(t{errs[2]:.2f}m/{errs[3]:.2f}deg, r{errs[4]:.2f}deg) "
+        "Pass:" + "/".join(f"{v:.2f}%" for v in passed)
+    )
+
+
 def eval_pipeline_with_ransac(result_dict, log, ransac_thres, ransac_iter,
                               ransac_miu, pair_type, err_thres, save_res_path=None):
-    """(reference localize.py:120-161)"""
+    """Pose-graph RANSAC eval over one or more inlier thresholds (printed
+    numerics match reference localize.py:120-161; structured as one
+    :func:`_ransac_scene_row` per scene, aggregated by :func:`_aggregate`,
+    best threshold tracked by mean absolute position error)."""
     print(
         f">>>>Evaluate model with Ransac(iter={ransac_iter}, miu={ransac_miu}) "
         f"Error thres:{err_thres})"
     )
-    t1 = time.time()
+    t_start = time.time()
+    pair_type = "relapose" if pair_type == "angess" else pair_type
     best_abs_err = None
+    avg_pass = ()
     for thres in ransac_thres:
-        avg_err, avg_pass = [], []
         print(f"\n>>Ransac threshold:{thres}")
-        loc_results_dict = {}
-        for dataset in result_dict:
-            pair_data = result_dict[dataset]["pair_data"]
-            loc_results_dict[dataset] = {} if save_res_path else None
-            pt = "relapose" if pair_type == "angess" else pair_type
-            tested_num, approx_queries, pass_rate, err_res = ransac(
-                pair_data, thres, in_iter=ransac_iter, pair_type=pt,
-                err_thres=err_thres, loc_results=loc_results_dict[dataset])
-            avg_err.append(err_res)
-            avg_pass.append(pass_rate)
-            name = dataset[0: min(10, len(dataset))]
-            print(
-                f"Dataset:{name} Bad/All:{len(approx_queries)}/{tested_num}, "
-                f"Rela:(t{err_res[0]:.2f}deg, r{err_res[1]:.2f}deg) "
-                f"Abs:(t{err_res[2]:.2f}m/{err_res[3]:.2f}deg, r{err_res[4]:.2f}deg) "
-                "Pass:" + "/".join(f"{v:.2f}%" for v in pass_rate)
-            )
+        rows = []
+        saved = {}
+        for name, data in result_dict.items():
+            loc = {} if save_res_path else None
+            row, bad_all = _ransac_scene_row(
+                name, data["pair_data"], thres, ransac_iter, pair_type,
+                err_thres, loc)
+            rows.append(row)
+            saved[name] = loc
+            print(f"Dataset:{name[:10]} Bad/All:{bad_all}, "
+                  + _ransac_summary("", row.errors(), row.passed))
 
-        avg_err = tuple(np.mean(avg_err, axis=0))
-        avg_pass = (tuple(np.mean(avg_pass, axis=0)) if len(err_thres) > 1
-                    else tuple(avg_pass))
+        avg_err, mean_pass = _aggregate(rows)
+        # single-threshold runs keep the reference's tuple-of-arrays shape
+        avg_pass = (tuple(mean_pass) if len(err_thres) > 1
+                    else tuple(np.asarray(r.passed) for r in rows))
         if best_abs_err is None or best_abs_err[0] > avg_err[2]:
             best_abs_err = (avg_err[2], avg_err[4])
-        print(
-            f"Avg: Rela:(t{avg_err[0]:.2f}deg, r{avg_err[1]:.2f}deg) "
-            f"Abs:(t{avg_err[2]:.2f}m/{avg_err[3]:.2f}deg, r{avg_err[4]:.2f}deg) "
-            "Pass:" + "/".join(f"{v:.2f}%" for v in avg_pass)
-        )
+        print(_ransac_summary("Avg: ", avg_err, mean_pass))
         if save_res_path:
-            np.save(save_res_path, loc_results_dict)
-    print(f"Ransac testing time: {time.time() - t1}s\n")
+            np.save(save_res_path, saved)
+    print(f"Ransac testing time: {time.time() - t_start}s\n")
     return best_abs_err, avg_pass
 
 
@@ -726,71 +755,86 @@ def eval_pipeline_with_ransac(result_dict, log, ransac_thres, ransac_iter,
 
 
 def save_results_visualisation(file_path):
-    """Per-scene txt of predicted absolute query poses
-    (reference localize.py:51-69)."""
+    """Per-scene txt of predicted absolute query poses, in the submission
+    line format (same output as reference localize.py:51-69; the formatting
+    is the framework's own submission Pose writer)."""
+    from mapfree_tpu.utils.submission import Pose
+
     results_dict = np.load(file_path, allow_pickle=True).item()
-    out_file_path = os.path.join(os.path.split(file_path)[0], "pose_")
+    out_dir = os.path.split(file_path)[0]
     for scene, scene_res in results_dict.items():
-        with open(out_file_path + scene + ".txt", "w") as f:
-            for test_im, res in scene_res.items():
-                if res is None:
-                    continue
-                abs_pose = res["abs_pose_pred"]
-                inliers = res["inliers"]
-                formatter = {"float": lambda v: f"{v:.6f}"}
-                q_str = np.array2string(abs_pose.q, formatter=formatter,
-                                        max_line_width=1000)[1:-1]
-                t_str = np.array2string(abs_pose.t, formatter=formatter,
-                                        max_line_width=1000)[1:-1]
-                f.write(f"{test_im} {q_str} {t_str} {inliers} \n")
+        lines = [
+            str(Pose(test_im, res["abs_pose_pred"].q, res["abs_pose_pred"].t,
+                     res["inliers"])) + " \n"
+            for test_im, res in scene_res.items() if res is not None
+        ]
+        with open(os.path.join(out_dir, f"pose_{scene}.txt"), "w") as f:
+            f.writelines(lines)
+
+
+@dataclass
+class _SceneErrors:
+    """Flat error arrays of one scene (or the pooled dataset)."""
+
+    inliers: np.ndarray
+    t_err: np.ndarray
+    r_err: np.ndarray
+    failures: int
+
+    @classmethod
+    def from_results(cls, scene_res):
+        ok = [r for r in scene_res.values() if r is not None]
+        return cls(
+            inliers=np.array([r["inliers"] for r in ok]),
+            t_err=np.array([r["abs_t_err"] for r in ok]),
+            r_err=np.array([r["abs_r_err"] for r in ok]),
+            failures=sum(1 for r in scene_res.values() if r is None),
+        )
+
+    @classmethod
+    def pooled(cls, parts):
+        return cls(
+            inliers=np.concatenate([p.inliers for p in parts]),
+            t_err=np.concatenate([p.t_err for p in parts]),
+            r_err=np.concatenate([p.r_err for p in parts]),
+            failures=sum(p.failures for p in parts),
+        )
+
+    def pr_curve(self, pose_threshold):
+        return precision_recall_pose_error(
+            self.inliers, self.t_err, self.r_err, self.failures, pose_threshold)
 
 
 def generate_precision_recall_plots(file_path, pose_threshold):
-    """Per-scene + whole-dataset PR-curve JPGs (reference localize.py:72-118)."""
+    """Per-scene + whole-dataset PR-curve JPGs (reference localize.py:72-118;
+    one divergence: the dataset-level curve uses the TOTAL failure count —
+    the reference accidentally reuses the last scene's)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     results_dict = np.load(file_path, allow_pickle=True).item()
-    out_file_path = os.path.join(os.path.split(file_path)[0], "pr_")
+    out_dir = os.path.split(file_path)[0]
 
-    all_inliers, all_terr, all_rerr = [], [], []
-    all_failures = 0
-
-    def plot(prec, rec):
+    def save_curve(errs, title, out_name):
+        prec, rec, ap = errs.pr_curve(pose_threshold)
         plt.figure()
         plt.plot(rec, prec, drawstyle="steps-post")
         plt.xlabel("Recall")
         plt.ylabel("Precision")
         plt.xlim(0, 1)
         plt.ylim(0, 1.1)
-
-    failures = 0
-    for scene, scene_res in results_dict.items():
-        terr = np.array([r["abs_t_err"] for r in scene_res.values() if r is not None])
-        rerr = np.array([r["abs_r_err"] for r in scene_res.values() if r is not None])
-        inliers = np.array([r["inliers"] for r in scene_res.values() if r is not None])
-        failures = sum(1 for r in scene_res.values() if r is None)
-        all_terr.append(terr)
-        all_rerr.append(rerr)
-        all_inliers.append(inliers)
-        all_failures += failures
-        prec, rec, ap = precision_recall_pose_error(
-            inliers, terr, rerr, failures, pose_threshold)
-        plot(prec, rec)
-        plt.title(f"Scene {scene}. AP={ap:.2f}")
+        plt.title(f"{title}. AP={ap:.2f}")
         plt.tight_layout()
-        plt.savefig(out_file_path + scene + ".jpg")
+        plt.savefig(os.path.join(out_dir, out_name))
         plt.close()
 
-    terr = np.concatenate(all_terr)
-    rerr = np.concatenate(all_rerr)
-    inliers = np.concatenate(all_inliers)
-    prec, rec, ap = precision_recall_pose_error(
-        inliers, terr, rerr, failures, pose_threshold)
-    plot(prec, rec)
-    plt.title(f"Dataset. AP={ap:.2f}")
-    plt.tight_layout()
-    plt.savefig(out_file_path + "all.jpg")
-    plt.close()
+    per_scene = {
+        scene: _SceneErrors.from_results(scene_res)
+        for scene, scene_res in results_dict.items()
+    }
+    for scene, errs in per_scene.items():
+        save_curve(errs, f"Scene {scene}", f"pr_{scene}.jpg")
+    save_curve(_SceneErrors.pooled(list(per_scene.values())), "Dataset",
+               "pr_all.jpg")

@@ -126,10 +126,14 @@ class ResUNet(nn.Module):
         return y
 
 
-def _skip_concat(x1, x2):
-    """Pad (or crop, for negative deltas) x1 spatially to x2's size, concat
-    channels [x2, x1] (reference resunet.py:91-103; torch F.pad semantics
-    where negative pads crop)."""
+def _skip_concat(y, skip):
+    """Pad (or crop, for negative deltas) the SKIP tensor spatially to the
+    upsampled tensor's size, concat channels [upsampled, skip] — exactly the
+    reference's skipconnect(x1=skip, x2=upsampled): it pads x1 and returns
+    cat([x2, x1]) (reference resunet.py:91-103; torch F.pad semantics where
+    negative pads crop). Both the pad target and the concat order matter for
+    weight-converted checkpoints: the downstream iconv consumes
+    [upsampled | skip] channel blocks in that order."""
 
     def _fit(x, axis, target):
         d = target - x.shape[axis]
@@ -144,9 +148,9 @@ def _skip_concat(x1, x2):
             return x[tuple(idx)]
         return x
 
-    x1 = _fit(x1, 1, x2.shape[1])
-    x1 = _fit(x1, 2, x2.shape[2])
-    return jnp.concatenate([x2, x1], axis=-1)
+    skip = _fit(skip, 1, y.shape[1])
+    skip = _fit(skip, 2, y.shape[2])
+    return jnp.concatenate([y, skip], axis=-1)
 
 
 def build_encoder(encoder_cfg, dtype=jnp.float32, remat: bool = False) -> nn.Module:

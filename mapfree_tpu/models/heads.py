@@ -36,7 +36,9 @@ class _ShallowTrunk(nn.Module):
         B = x.shape[0]
         x = PreActBlock(256, stride=2, dtype=self.dtype, name="resblock1")(x, train)
         x = PreActBlock(128, stride=2, dtype=self.dtype, name="resblock2")(x, train)
-        return x.reshape(B, -1)
+        # ravel in the reference's NCHW order so converted torch Dense
+        # weights apply without a row permutation (reference head.py:22-24)
+        return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, -1)
 
 
 class _DeepTrunk(nn.Module):
@@ -60,7 +62,8 @@ class _DeepTrunk(nn.Module):
                         name="resblock4")(x, train)
         if self.avg_pool:
             x = x.mean(axis=(1, 2), keepdims=True)
-        return x.reshape(B, -1)
+        # NCHW-order ravel: see _ShallowTrunk (reference head.py:44-50)
+        return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, -1)
 
 
 class _DeepMLP(nn.Module):
