@@ -45,6 +45,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# When True, the fused path is reported available off-TPU and the kernels run
+# under the Pallas interpreter. This exists so the PRODUCTION graph shape
+# (aggregator -> fused kernel) can be exercised on the CPU mesh — sharded
+# tests and the driver's multi-chip dryrun — not just the XLA fallback the
+# aggregators would otherwise select off-TPU.
+INTERPRET_FALLBACK = False
+
+
+def _use_interpret(interpret: bool) -> bool:
+    return interpret or (INTERPRET_FALLBACK and jax.default_backend() != "tpu")
+
+
 def _kernel(q_ref, k_ref, v_ref, out_ref, m_s, d_s, acc_s, *, hw: int,
             col_chunk: int, n_chunks: int):
     """One (batch, row-block, key-chunk) program — flash-attention layout.
@@ -203,6 +215,7 @@ def fused_correlation_warp(q, k, v, grid, interpret: bool = False,
     Returns:
         warped [B, HW, Cv], pos [B, HW, 2], max_score [B, HW, 1], all float32.
     """
+    interpret = _use_interpret(interpret)
     B, HW, Cq = q.shape
     Cv = v.shape[-1]
     rM = row_block
@@ -268,6 +281,7 @@ def _fcw_fwd(q, k, v, grid, interpret, row_block, key_chunk):
 
 
 def _fcw_bwd(interpret, row_block, key_chunk, residuals, cotangents):
+    interpret = _use_interpret(interpret)
     q, k, v, grid = residuals
     d_warped, d_pos, d_ms = cotangents
 
@@ -370,5 +384,6 @@ fused_correlation_warp.defvjp(_fcw_fwd, _fcw_bwd)
 
 
 def fused_path_available() -> bool:
-    """The compiled kernel needs a real TPU; tests use interpret=True."""
-    return jax.default_backend() == "tpu"
+    """The compiled kernel needs a real TPU; off-TPU the fused path is only
+    taken when INTERPRET_FALLBACK routes it through the interpreter."""
+    return jax.default_backend() == "tpu" or INTERPRET_FALLBACK
