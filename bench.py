@@ -198,6 +198,115 @@ def bench_train(cfg, batch: int = 16):
     return B / per_step
 
 
+T_SCENES_DIR = Path(__file__).parent / ".bench_scenes_train"
+N_T_SCENES = 4
+N_T_FRAMES = 40  # per sequence
+
+
+def _make_train_scenes():
+    """Synthetic TRAIN scenes (seq0 + seq1 with overlaps.npz) so training can
+    be benchmarked through the real loader, not device-resident tensors."""
+    import cv2
+
+    marker = T_SCENES_DIR / f"ok_{N_T_SCENES}_{N_T_FRAMES}_{H}x{W}"
+    if marker.exists():
+        return
+    if T_SCENES_DIR.exists():
+        shutil.rmtree(T_SCENES_DIR)
+    rng = np.random.default_rng(11)
+    for s in range(N_T_SCENES):
+        scene = T_SCENES_DIR / "train" / f"s{s:05}"
+        (scene / "seq0").mkdir(parents=True)
+        (scene / "seq1").mkdir(parents=True)
+        frames = [f"seq{q}/frame_{i:05}.jpg"
+                  for q in (0, 1) for i in range(N_T_FRAMES)]
+        base = rng.integers(0, 235, size=(45, 34, 3), dtype=np.uint8)
+        intr, pose = [], []
+        for name in frames:
+            jit = base + rng.integers(0, 20, size=base.shape, dtype=np.uint8)
+            img = cv2.resize(jit, (W, H), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(scene / name), img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3) * 0.5
+            intr.append(f"{name} 500.0 500.0 {W / 2} {H / 2} {W} {H}")
+            pose.append(
+                f"{name} " + " ".join(f"{v:.9f}" for v in np.concatenate([q, t])))
+        (scene / "intrinsics.txt").write_text("\n".join(intr) + "\n")
+        (scene / "poses.txt").write_text("\n".join(pose) + "\n")
+        # all (seq0, seq1) pairs at a valid overlap (reference overlaps.npz
+        # contract: idxs [N,4] = (seqA, imgA, seqB, imgB))
+        idxs = np.array([(0, i, 1, j) for i in range(N_T_FRAMES)
+                         for j in range(N_T_FRAMES) if abs(i - j) <= 3])
+        overlaps = rng.uniform(0.25, 0.75, size=len(idxs))
+        np.savez(scene / "overlaps.npz", idxs=idxs, overlaps=overlaps)
+    marker.touch()
+
+
+def bench_train_loader(cfg, batch: int = 16, steps: int = 16):
+    """Training throughput THROUGH the real input pipeline (disk -> native
+    decode -> collate -> H2D -> augment -> fwd+bwd+Adam), for both
+    augmentation placements:
+
+    - device: loader ships uint8, ColorJitter runs in-graph (TPU.DEVICE_AUGMENT);
+    - host: torchvision-style float32 host jitter (the reference's placement,
+      datamodules.py:33-40) — 4x the H2D bytes.
+
+    Steps are dispatched WITHOUT per-step blocking (jax async dispatch
+    overlaps the tunnel/H2D with loading); one final block fences the run.
+    Returns {"device_aug": samples/s, "host_aug": samples/s}.
+    """
+    import jax
+
+    from mapfree_tpu.data.datamodule import DataModule
+    from mapfree_tpu.train.state import init_state, make_train_step
+    from mapfree_tpu.models import build_regression_net
+    from mapfree_tpu.utils.data import data_to_device
+
+    out = {}
+    for label, device_aug in (("device_aug", True), ("host_aug", False)):
+        c = cfg.clone()
+        c.DATASET.DATA_SOURCE = "MapFree"
+        c.DATASET.DATA_ROOT = str(T_SCENES_DIR)
+        c.DATASET.SCENES = None
+        if c.DATASET.MIN_OVERLAP_SCORE is None:
+            c.DATASET.MIN_OVERLAP_SCORE = 0.2
+            c.DATASET.MAX_OVERLAP_SCORE = 0.8
+        c.DATASET.AUGMENTATION_TYPE = "colorjitter"
+        c.TPU.DEVICE_AUGMENT = device_aug
+        c.TRAINING.BATCH_SIZE = batch
+        c.TRAINING.NUM_WORKERS = 2
+        c.TRAINING.N_SAMPLES_SCENE = (steps + 2) * batch // N_T_SCENES + 1
+
+        dm = DataModule(c)
+        net = build_regression_net(c)
+        step_fn = make_train_step(net, c, donate=False)
+
+        from mapfree_tpu.train.fit import _TRAIN_KEYS
+
+        def trim(b):
+            return data_to_device({k: b[k] for k in _TRAIN_KEYS})
+
+        loader = dm.train_dataloader()
+        it = iter(loader)
+        first = trim(next(it))
+        state = init_state(net, c, jax.random.PRNGKey(0), first)
+        state, _ = step_fn(state, first)  # compile + warm
+        jax.block_until_ready(state.params)
+
+        t0 = time.perf_counter()
+        n = 0
+        logs = None
+        for b in it:
+            if n >= steps * batch:
+                break
+            n += np.asarray(b["image0"]).shape[0]
+            state, logs = step_fn(state, trim(b))
+        jax.block_until_ready((state.params, logs))
+        out[label] = n / (time.perf_counter() - t0)
+    return out
+
+
 def bench_e2e(cfg, batch: int):
     """Full val sweep: disk -> decode -> H2D -> forward -> submission.zip.
 
@@ -432,9 +541,11 @@ def main():
     # the train-step fwd+bwd compile alone takes minutes cold; only measure
     # it when explicitly asked so the default bench stays inside the
     # driver's budget (the measured number is recorded in docs/NOTES.md)
-    train_sps = (
-        bench_train(cfg) if os.environ.get("MAPFREE_BENCH_TRAIN") else None
-    )
+    train_sps = loader_sps = None
+    if os.environ.get("MAPFREE_BENCH_TRAIN"):
+        train_sps = bench_train(cfg)
+        _make_train_scenes()
+        loader_sps = bench_train_loader(cfg)
     e2e_pps, e2e_stages = bench_e2e(cfg, min(best_batch, 32))
     match_pps, match_prec_pose, match_prec_vcre = bench_matching()
 
@@ -465,6 +576,11 @@ def main():
                 **(
                     {"train_step_samples_per_s": round(train_sps, 2)}
                     if train_sps is not None else {}
+                ),
+                **(
+                    {"train_loader_samples_per_s": {
+                        k: round(v, 2) for k, v in loader_sps.items()}}
+                    if loader_sps is not None else {}
                 ),
             }
         )

@@ -130,5 +130,7 @@ _CN.TPU.MAX_CORRESPONDENCES = 2048  # fixed-shape padding for the matching track
 _CN.TPU.RANSAC_ITERATIONS = 1024    # fixed hypothesis count for batched RANSAC
 _CN.TPU.ADAPTIVE_RANSAC = True      # two-tier budget ladder (cheap dispatch
                                     # first, full budget only for hard pairs)
+_CN.TPU.DEVICE_AUGMENT = True       # run ColorJitter/Grayscale in-graph on
+                                    # uint8 batches instead of host float32
 
 cfg = _CN

@@ -38,6 +38,10 @@ class DataModule:
         return None
 
     def _transforms(self):
+        if bool(self.cfg.TPU.DEVICE_AUGMENT):
+            # augmentation runs in-graph on device (data/augment.py), so the
+            # loader keeps the uint8 batch-decode path (4x cheaper H2D)
+            return None
         if self.cfg.DATASET.BLACK_WHITE:
             return grayscale3
         if self.cfg.DATASET.AUGMENTATION_TYPE == "colorjitter":

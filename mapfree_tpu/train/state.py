@@ -112,8 +112,16 @@ def _forward_loss(net, cfg, params, batch_stats, batch, train: bool):
 
 def make_train_step(net, cfg, mesh: Mesh | None = None, donate: bool = True):
     tx = make_optimizer(cfg.TRAINING)
+    from mapfree_tpu.data.augment import make_device_augment
+
+    augment = make_device_augment(cfg)
+    aug_seed = int(cfg.TPU.SEED)
 
     def train_step(state: TrainState, batch):
+        if augment is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            batch = augment(key, batch)
+
         def loss_fn(params):
             return _forward_loss(net, cfg, params, state.batch_stats, batch, True)
 
