@@ -127,6 +127,50 @@ def det_small(A):
     return det_sign * jnp.prod(diag, axis=-1)
 
 
+def qr_solve(A, B):
+    """Solve A @ X = B for batched small square A by unrolled Householder QR
+    (no pivoting) + back substitution — straight-line batched arithmetic,
+    same rationale as :func:`det_small` (XLA's pivoted LU `linalg.solve` is
+    microseconds per tiny matrix; a RANSAC sweep needs millions).
+
+    A: [..., n, n], B: [..., n, m], static n. No pivoting: a singular or
+    badly row-scaled A yields non-finite values or garbage with a large
+    residual — callers mask such hypotheses by score/validity (RANSAC
+    semantics) rather than expecting LAPACK-grade robustness.
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    R = A
+    Y = B
+    for k in range(n - 1):
+        a = R[..., k:, k]  # [..., m]
+        norm = jnp.linalg.norm(a, axis=-1)
+        a0 = a[..., 0]
+        sgn = jnp.where(a0 >= 0, 1.0, -1.0).astype(dtype)
+        e1 = jnp.zeros_like(a).at[..., 0].set(1.0)
+        v = a + (sgn * norm)[..., None] * e1
+        vnorm2 = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-38)
+        active = (norm > 1e-30)[..., None, None]
+        subR = R[..., k:, k:]
+        wR = jnp.einsum("...m,...mn->...n", v, subR)
+        subR_new = subR - (2.0 / vnorm2)[..., None, None] * (
+            v[..., :, None] * wR[..., None, :])
+        R = R.at[..., k:, k:].set(jnp.where(active, subR_new, subR))
+        subY = Y[..., k:, :]
+        wY = jnp.einsum("...m,...mn->...n", v, subY)
+        subY_new = subY - (2.0 / vnorm2)[..., None, None] * (
+            v[..., :, None] * wY[..., None, :])
+        Y = Y.at[..., k:, :].set(jnp.where(active, subY_new, subY))
+    X = jnp.zeros_like(Y)
+    for i in reversed(range(n)):
+        acc = Y[..., i, :]
+        if i + 1 < n:
+            acc = acc - jnp.einsum(
+                "...j,...jm->...m", R[..., i, i + 1:], X[..., i + 1:, :])
+        X = X.at[..., i, :].set(acc / R[..., i, i, None])
+    return X
+
+
 def det3(A):
     """Closed-form determinant of [..., 3, 3] (scalar triple product)."""
     return jnp.sum(

@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from mapfree_tpu.geom.smallblas import (det3, det_small,
+from mapfree_tpu.geom.smallblas import (det3,
                                         f32_matmuls as _f32_matmuls,
+                                        qr_solve,
                                         smallest_eigvec, smallest_eigvecs,
                                         svd3)
 from mapfree_tpu.ops.ransac import (
@@ -72,8 +73,8 @@ def _eight_point(x0, x1, w):
 
 # ------------------------------------------------------------ 5-point ------
 #
-# Nistér's minimal problem via the hidden-variable resultant, shaped for
-# vmap/TPU (no nonsymmetric eigendecomposition):
+# Nistér's minimal problem via the classical Gauss-Jordan reduction, shaped
+# for vmap/TPU (no nonsymmetric eigendecomposition, no per-root nullspaces):
 #
 # 1. the 5 epipolar constraints give a 4-dim nullspace: E = x E1 + y E2 +
 #    z E3 + E4;
@@ -82,21 +83,35 @@ def _eight_point(x0, x1, w):
 #    NUMERICALLY: evaluate each constraint at 20 fixed generic points and
 #    multiply by the precomputed inverse Vandermonde (exact interpolation of
 #    a degree-3 polynomial, no symbolic expansion to maintain);
-# 3. grouping by the 10 (x, y)-monomials turns the system into M(z) m = 0
-#    with M a 10x10 matrix whose entries are cubics in z; solutions satisfy
-#    det M(z) = 0 (Nistér's degree-10 polynomial);
-# 4. roots are isolated on a tan(theta) grid — entries are homogenised to
-#    degree 3 in (sin, cos) so the determinant stays bounded over all of R —
-#    and polished by fixed-count bisection; (x, y) are read off M(z*)'s null
-#    vector. Up to _MAX_ROOTS candidates per sample, validity-masked.
+# 3. Gauss-Jordan elimination (one batched 10x10 QR solve) expresses the 10
+#    monomials of (x,y)-degree >= 2 through the 10 low monomials
+#    lo = [x, xz, xz^2, y, yz, yz^2, 1, z, z^2, z^3]; the Nistér row
+#    combinations <x^2 z> - z<x^2>, <xyz> - z<xy>, <y^2 z> - z<y^2> leave a
+#    3x3 matrix B(z) with polynomial entries (degree 3, 3, 4 per column)
+#    acting on [x, y, 1];
+# 4. det B(z) is Nistér's degree-10 polynomial, obtained CLOSED-FORM by six
+#    small coefficient convolutions — no determinant evaluations at all;
+# 5. roots are isolated on a tan(theta) grid (coefficients homogenised to
+#    degree 10 in (sin, cos) so the polynomial stays bounded over all of R)
+#    and polished by fixed-count 16-way subdivision; (x, y) at each root are
+#    the null vector of B(z*) — a closed-form cross product of two rows.
+#
+# Per minimal sample this costs one 9x9 nullspace basis, 20 constraint
+# evaluations, one 10x10 QR solve and elementwise polynomial algebra —
+# replacing the previous hidden-variable path (32 batched 10x10
+# determinants + one 10x10 inverse-iteration nullspace per root), which
+# profiled at 66-80% of the whole essential pipeline (tools/solver_profile).
 
-# (x, y) monomial order for the columns of M(z); x = m[7]/m[9], y = m[8]/m[9]
+# (x, y) monomial order for the 20 cubic monomials in (x, y, z): pairs from
+# _XY_MONOS with the z-power filling up to total degree 3. With this
+# ordering columns 0-9 are exactly the monomials of (x,y)-degree >= 2
+# (x^3, x^2 y, x y^2, y^3, x^2, x^2 z, xy, xyz, y^2, y^2 z) and columns
+# 10-19 the low monomials (x, xz, xz^2, y, yz, yz^2, 1, z, z^2, z^3).
 _XY_MONOS = [(3, 0), (2, 1), (1, 2), (0, 3), (2, 0), (1, 1), (0, 2),
              (1, 0), (0, 1), (0, 0)]
-# all 20 cubic monomials in (x, y, z): (a, b) from the list above with the
-# z-power filling the remaining degree
 _XYZ_MONOS = [(a, b, c) for a, b in _XY_MONOS for c in range(0, 4 - a - b)]
 assert len(_XYZ_MONOS) == 20
+assert all(a + b >= 2 for a, b, _ in _XYZ_MONOS[:10])
 
 _rng = np.random.default_rng(12345)
 _EVAL_PTS = _rng.uniform(-1.0, 1.0, size=(20, 3))
@@ -112,43 +127,14 @@ del _rng
 _MAX_ROOTS = 10
 _GRID = 257  # theta samples for sign-change isolation
 _SUBDIV_ROUNDS = 4  # 16-way subdivision rounds; (pi/256)/16^4 ~ 2e-7 rad
-
-# det M~(theta) is a bandlimited trig polynomial: det M(z) has degree <= 10
-# (columns 0-3 of M are constant in z, 4-6 linear, 7-8 quadratic, 9 cubic —
-# Nister's degree-10 resultant), so det M~ = cos^30 * det M(tan) is
-# homogeneous degree 30 in (sin, cos) with only even harmonics: 31 real
-# Fourier coefficients in phi = 2 theta. 32 equispaced samples recover them
-# EXACTLY by DFT (orthogonal — verified at 2e-6 relative, the f32 det noise),
-# after which every grid/refinement evaluation is a 31-term dot product
-# instead of a 10x10 determinant (~25x fewer det calls per minimal sample).
-_N_DET_SAMPLES = 32
-_SAMPLE_THETAS = -np.pi / 2 + (np.arange(_N_DET_SAMPLES) + 0.5) * (
-    np.pi / _N_DET_SAMPLES
-)
-
-
-def _trig_basis(thetas):
-    """[..., 31] basis [1, cos m phi..., sin m phi...] at phi = 2 theta."""
-    phi = 2.0 * np.asarray(thetas, np.float64)
-    m = np.arange(16)
-    C = np.cos(np.multiply.outer(phi, m))
-    S = np.sin(np.multiply.outer(phi, m[1:]))
-    return np.concatenate([C, S], axis=-1)
-
-
-_B_S = _trig_basis(_SAMPLE_THETAS)  # [32, 31]
-# samples -> Fourier coefficients: a_m = 2/N sum f cos(m phi) (a_0 halved)
-_DFT_MAT = (
-    np.concatenate(
-        [np.concatenate([_B_S[:, :1] * 0.5, _B_S[:, 1:16]], axis=1).T,
-         _B_S[:, 16:].T],
-        axis=0,
-    )
-    * (2.0 / _N_DET_SAMPLES)
-)  # [31, 32]
 _GRID_EPS = 1e-3
 _GRID_THETAS = np.linspace(-np.pi / 2 + _GRID_EPS, np.pi / 2 - _GRID_EPS, _GRID)
-_GRID_BASIS = _trig_basis(_GRID_THETAS)  # [_GRID, 31]
+# homogenised degree-10 monomial basis s^k c^(10-k) on the grid: the
+# polynomial p(tan theta) * cos^10 theta is bounded for every theta and has
+# the same roots/sign pattern as p on (-pi/2, pi/2)
+_GRID_SC10 = np.stack(
+    [np.sin(_GRID_THETAS) ** k * np.cos(_GRID_THETAS) ** (10 - k)
+     for k in range(11)], axis=-1)  # [_GRID, 11]
 
 
 def _nister_constraints(p, basis):
@@ -159,39 +145,12 @@ def _nister_constraints(p, basis):
     return jnp.concatenate([T.reshape(9), det3(E)[None]])
 
 
-def _mz_coefficients(basis):
-    """Coefficients Mc [4, 10, 10] of M(z) = sum_k Mc[k] z^k (rows scaled)."""
-    vals = jax.vmap(lambda p: _nister_constraints(p, basis))(
-        jnp.asarray(_EVAL_PTS, basis.dtype)
-    )  # [20 points, 10 constraints]
-    coeffs = (jnp.asarray(_VANDER_INV, basis.dtype) @ vals).T  # [10, 20]
-
-    Mc = jnp.zeros((4, 10, 10), basis.dtype)
-    col_of = {ab: i for i, ab in enumerate(_XY_MONOS)}
-    for mono_idx, (a, b, c) in enumerate(_XYZ_MONOS):
-        Mc = Mc.at[c, :, col_of[(a, b)]].set(coeffs[:, mono_idx])
-    # per-row max-abs normalisation: keeps det M in f32 range; scaling rows
-    # by positive constants moves neither roots nor null vectors
-    s = jnp.max(jnp.abs(Mc), axis=(0, 2), keepdims=True)
-    return Mc / jnp.maximum(s, 1e-20)
-
-
-def _m_tilde(Mc, theta):
-    """M(tan theta) homogenised: entry coeffs (az^3+bz^2+cz+d) become
-    a s^3 + b s^2 c + c s c^2 + d c^3 — bounded for any theta, same null
-    vector and determinant sign pattern as M(z) on (-pi/2, pi/2)."""
-    s, c = jnp.sin(theta), jnp.cos(theta)
-    pows = jnp.stack([c**3, s * c**2, s**2 * c, s**3])  # z^0..z^3
-    return jnp.einsum("k,kij->ij", pows, Mc)
-
-
-def _trig_eval(coeffs, thetas):
-    """Evaluate the fitted det M~ trig polynomial at arbitrary thetas."""
-    phi = 2.0 * thetas
-    m = jnp.arange(16, dtype=thetas.dtype)
-    ang = phi[..., None] * m
-    basis = jnp.concatenate([jnp.cos(ang), jnp.sin(ang[..., 1:])], axis=-1)
-    return basis @ coeffs
+def _sc_eval10(p10, thetas):
+    """Evaluate the homogenised degree-10 polynomial at arbitrary thetas."""
+    s, c = jnp.sin(thetas), jnp.cos(thetas)
+    k = jnp.arange(11, dtype=p10.dtype)
+    basis = s[..., None] ** k * c[..., None] ** (10.0 - k)
+    return basis @ p10
 
 
 def _five_point_candidates(x0, x1):
@@ -209,16 +168,44 @@ def _five_point_candidates(x0, x1):
     # exact 4-dim nullspace of the [5, 9] system by block inverse iteration
     # (any orthonormal basis of the nullspace parameterises the same family)
     basis = smallest_eigvecs(A.T @ A, 4).T.reshape(4, 3, 3)
-    Mc = _mz_coefficients(basis)
 
-    # one batched det pass at the 32 DFT sample angles fits the 31-coeff
-    # trig polynomial exactly; the isolation grid is then a tiny matmul
-    f_samples = det_small(
-        jax.vmap(lambda t: _m_tilde(Mc, t))(jnp.asarray(_SAMPLE_THETAS, dtype))
-    )  # [32]
-    coeffs = jnp.asarray(_DFT_MAT, dtype) @ f_samples  # [31]
+    # constraint coefficients over the 20 monomials: [10, 20]
+    vals = jax.vmap(lambda p: _nister_constraints(p, basis))(
+        jnp.asarray(_EVAL_PTS, dtype)
+    )  # [20 points, 10 constraints]
+    C = (jnp.asarray(_VANDER_INV, dtype) @ vals).T  # [10, 20]
+
+    # Gauss-Jordan: hi_i + (X @ lo)_i = 0 for the 10 high monomials
+    X = qr_solve(C[:, :10], C[:, 10:])  # [10, 10]
+
+    # Nistér rows k/l/m = <hi z-row> - z <hi row> over lo-monomials; collect
+    # per-variable polynomial coefficients in z (columns x, y, 1 of B)
+    hiZ = X[jnp.asarray([5, 7, 9])]  # rows of x^2 z, xyz, y^2 z
+    hi0 = X[jnp.asarray([4, 6, 8])]  # rows of x^2,   xy,  y^2
+    Bx = jnp.stack(
+        [hiZ[:, 0], hiZ[:, 1] - hi0[:, 0], hiZ[:, 2] - hi0[:, 1],
+         -hi0[:, 2]], axis=-1)  # [3, 4] z^0..z^3
+    By = jnp.stack(
+        [hiZ[:, 3], hiZ[:, 4] - hi0[:, 3], hiZ[:, 5] - hi0[:, 4],
+         -hi0[:, 5]], axis=-1)
+    B1 = jnp.stack(
+        [hiZ[:, 6], hiZ[:, 7] - hi0[:, 6], hiZ[:, 8] - hi0[:, 7],
+         hiZ[:, 9] - hi0[:, 8], -hi0[:, 9]], axis=-1)  # [3, 5] z^0..z^4
+
+    # det B(z): six coefficient convolutions -> degree-10 coefficients [11]
+    def pm(p, q):
+        return jnp.convolve(p, q)
+
+    p10 = (
+        pm(Bx[0], pm(By[1], B1[2]) - pm(By[2], B1[1]))
+        - pm(By[0], pm(Bx[1], B1[2]) - pm(Bx[2], B1[1]))
+        + pm(B1[0], pm(Bx[1], By[2]) - pm(Bx[2], By[1]))
+    )  # [11]
+    # scale-normalise: row scalings move neither roots nor null vectors
+    p10 = p10 / jnp.maximum(jnp.max(jnp.abs(p10)), 1e-30)
+
     thetas = jnp.asarray(_GRID_THETAS, dtype)
-    f = jnp.asarray(_GRID_BASIS, dtype) @ coeffs  # [G]
+    f = jnp.asarray(_GRID_SC10, dtype) @ p10  # [G]
     sign = jnp.where(f >= 0, 1.0, -1.0)
     is_bracket = sign[:-1] * sign[1:] < 0  # [G-1]
     # earliest _MAX_ROOTS brackets (fixed shape)
@@ -233,17 +220,16 @@ def _five_point_candidates(x0, x1):
     s_lo = sign[bracket_idx]
 
     # root polish by 16-way subdivision: each round evaluates 16 interior
-    # points of every bracket in ONE batched det_small call and narrows the
-    # bracket 16x — 4 sequential rounds reach (pi/128)/16^4 ~ 4e-7 rad where
-    # plain bisection needs 30 sequential steps (the sequential axis, not
-    # the det count, dominated the runtime: 30 tiny steps cost ~65 ms/batch)
+    # points of every bracket in ONE batched call and narrows the bracket
+    # 16x — 4 sequential rounds reach (pi/128)/16^4 ~ 4e-7 rad where plain
+    # bisection needs 30 sequential steps
     n_sub = 16
     offs = (jnp.arange(1, n_sub + 1, dtype=dtype)) / n_sub  # [16]
 
     def refine(carry, _):
         lo, hi = carry  # [_MAX_ROOTS]
         ts = lo[:, None] + (hi - lo)[:, None] * offs[None, :]  # [R, 16]
-        fs = _trig_eval(coeffs, ts.reshape(-1)).reshape(ts.shape)
+        fs = _sc_eval10(p10, ts.reshape(-1)).reshape(ts.shape)
         signs = jnp.where(fs >= 0, 1.0, -1.0)
         # bracket invariant: sign(lo) == s_lo, sign(hi) == -s_lo; the root
         # lies before the FIRST interior point whose sign differs from s_lo
@@ -261,23 +247,38 @@ def _five_point_candidates(x0, x1):
 
     (lo, hi), _ = jax.lax.scan(refine, (lo, hi), None, length=_SUBDIV_ROUNDS)
     theta_star = 0.5 * (lo + hi)
-    z = jnp.tan(theta_star)  # [_MAX_ROOTS]
 
-    def recover(theta, z):
-        Mt = _m_tilde(Mc, theta)
-        m = smallest_eigvec(Mt.T @ Mt)
-        d = m[9]
-        safe = d / (d * d + 1e-12)
-        x = m[7] * safe
-        y = m[8] * safe
-        E = x * basis[0] + y * basis[1] + z * basis[2] + basis[3]
-        # project onto the essential manifold
-        U, S, Vt = svd3(E)
-        sv = (S[0] + S[1]) / 2.0
-        return (U * jnp.asarray([sv, sv, 0.0], dtype)) @ Vt
+    # closed-form recovery: null vector of B(z*) via row cross products.
+    # Homogenised rows [c Bx~, c By~, B1~] (a positive row scaling); the
+    # most-independent row pair (largest cross norm) gives v ~ [x, y, 1].
+    s, c = jnp.sin(theta_star), jnp.cos(theta_star)  # [_MAX_ROOTS]
+    ps3 = jnp.stack([c**3, s * c**2, s**2 * c, s**3], axis=-1)  # [R, 4]
+    ps4 = jnp.stack([c**4, s * c**3, s**2 * c**2, s**3 * c, s**4],
+                    axis=-1)  # [R, 5]
+    Bxt = ps3 @ Bx.T  # [R, 3]
+    Byt = ps3 @ By.T
+    B1t = ps4 @ B1.T
+    rows = jnp.stack(
+        [c[:, None] * Bxt, c[:, None] * Byt, B1t], axis=-1)  # [R, row, col]
+    r0, r1, r2 = rows[:, 0], rows[:, 1], rows[:, 2]
+    crosses = jnp.stack(
+        [jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)],
+        axis=1)  # [R, 3, 3]
+    norms = jnp.linalg.norm(crosses, axis=-1)  # [R, 3]
+    v = jnp.take_along_axis(
+        crosses, jnp.argmax(norms, axis=1)[:, None, None], axis=1)[:, 0]
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 
-    Es = jax.vmap(recover)(theta_star, z)
-    valid = valid & jnp.isfinite(Es).all(axis=(1, 2))
+    # E ~ x E1 + y E2 + z E3 + E4, homogenised by v2 c (no division):
+    coef = jnp.stack(
+        [v[:, 0] * c, v[:, 1] * c, v[:, 2] * s, v[:, 2] * c], axis=-1)
+    E = jnp.einsum("rk,kij->rij", coef, basis)
+    # project onto the essential manifold
+    U, S, Vt = svd3(E)
+    sv = (S[..., 0] + S[..., 1]) / 2.0
+    Es = (U * jnp.stack([sv, sv, jnp.zeros_like(sv)], -1)[..., None, :]) @ Vt
+    valid = (valid & jnp.isfinite(Es).all(axis=(1, 2))
+             & (jnp.max(jnp.abs(Es), axis=(1, 2)) > 1e-12))
     Es = jnp.where(valid[:, None, None], Es, jnp.eye(3, dtype=dtype))
     return Es, valid
 
@@ -343,6 +344,58 @@ def sampson_sq(E, x0, x1):
     num = jnp.sum(x1h * Ex0, axis=-1) ** 2
     den = Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2 + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2
     return num / jnp.maximum(den, 1e-12)
+
+
+@_f32_matmuls
+def sampson_sq_many(Es, x0, x1):
+    """Squared Sampson distances for MANY hypotheses at once: [M, N].
+
+    MXU formulation: every (hypothesis, point) epipolar value x1ᵀEx0 is the
+    dot product of the flattened E with the flattened outer product x1h x0hᵀ,
+    so ONE [M, 9] @ [9, N] matmul scores the whole grid; the four denominator
+    rows (Ex0)_0,1 and (Eᵀx1)_0,1 are four more [M, 3] @ [3, N] matmuls.
+    Unlike ``vmap(sampson_sq)`` this never materialises an [M, N, 3]
+    intermediate — the live set is [M, N] — which is what lets the RANSAC
+    scoring loop sweep tens of thousands of hypotheses per pair in one
+    dispatch without blowing HBM.
+    """
+    x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)  # [N, 3]
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    cross = jnp.einsum("ni,nj->ijn", x1h, x0h).reshape(9, -1)  # [9, N]
+    num = (Es.reshape(-1, 9) @ cross) ** 2  # [M, N]
+    Ex0_0 = Es[:, 0, :] @ x0h.T
+    Ex0_1 = Es[:, 1, :] @ x0h.T
+    Etx1_0 = Es[:, :, 0] @ x1h.T
+    Etx1_1 = Es[:, :, 1] @ x1h.T
+    den = Ex0_0**2 + Ex0_1**2 + Etx1_0**2 + Etx1_1**2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def score_hypotheses(Es, hypo_ok, x0, x1, mask, thr_sq, chunk: int = 4096):
+    """MAGSAC scores for a large hypothesis set, chunked over hypotheses.
+
+    Es [M, 3, 3] -> scores [M] (invalid hypotheses get +inf). Peak residual
+    memory is [chunk, N] instead of [M, N]: at the 70%-outlier budgets the
+    full set is >20k hypotheses per pair and an unchunked vmap over a batch
+    of pairs allocates multi-GB intermediates (measured 18 GB at B=64,
+    n5=2048).
+    """
+    M = Es.shape[0]
+    if M <= chunk:
+        scores = magsac_score(sampson_sq_many(Es, x0, x1), mask, thr_sq)
+        return jnp.where(hypo_ok, scores, jnp.inf)
+    pad = (-M) % chunk
+    Es_p = jnp.concatenate([Es, jnp.tile(jnp.eye(3)[None], (pad, 1, 1))])
+    ok_p = jnp.concatenate([hypo_ok, jnp.zeros(pad, bool)])
+
+    def one(args):
+        Es_c, ok_c = args
+        s = magsac_score(sampson_sq_many(Es_c, x0, x1), mask, thr_sq)
+        return jnp.where(ok_c, s, jnp.inf)
+
+    scores = jax.lax.map(
+        one, (Es_p.reshape(-1, chunk, 3, 3), ok_p.reshape(-1, chunk)))
+    return scores.reshape(-1)[:M]
 
 
 def _skew(v):
@@ -519,14 +572,25 @@ def homography_cheirality_pose(H, x0, x1, mask):
 
 
 @_f32_matmuls
-def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
-    """Single-pair 8-point RANSAC with one least-squares refit on inliers.
+def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512,
+                       n5: int | None = None, lo_topk: int = 16):
+    """Single-pair essential-matrix RANSAC (fixed budget, one dispatch).
+
+    5-point Nistér + 8-point hypotheses, MAGSAC-style sigma-ladder scoring
+    (chunked MXU evaluation over the whole hypothesis set), top-K local
+    optimisation with soft Cauchy reweighting, Gauss-Newton manifold polish.
+    TPU equivalent of OpenCV USAC_MAGSAC (reference pose_solver.py:46-48).
 
     Args:
         kpts0_n, kpts1_n: [N, 2] normalized coordinates.
         mask: [N] validity.
         thr: scalar inlier threshold in normalized units.
-        n_iters: hypothesis budget.
+        n_iters: 8-point hypothesis budget.
+        n5: 5-point minimal-sample budget (default n_iters // 4); each
+            sample yields up to 10 candidate E's. This is THE accuracy
+            knob at high outlier ratios (all-inlier sample probability
+            w^5 vs w^8).
+        lo_topk: hypotheses kept for local optimisation.
     Returns:
         E [3, 3], inliers [N] bool, valid (bool scalar: >= 5 valid points).
     """
@@ -546,13 +610,23 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
     # OpenCV's 5-point inside USAC_MAGSAC): at inlier ratio w the all-inlier
     # sample probability is w^5 vs w^8 — at 50% outliers that is 8x more
     # clean samples per budget, which is what decides the epipolar basin
-    n5 = max(n_iters // 4, 32)
+    if n5 is None:
+        n5 = max(n_iters // 4, 32)
     idx5 = masked_sample_indices(k5, mask, n5, 5)
 
     def solve_five(sample_idx):
         return _five_point_candidates(kpts0_n[sample_idx], kpts1_n[sample_idx])
 
-    Es5, valid5 = jax.vmap(solve_five)(idx5)  # [n5, R, 3, 3], [n5, R]
+    # chunk the minimal-solver sweep: its 10x10 resultant intermediates pad
+    # ~20x under TPU tiling, so one flat vmap over n5 >= 2048 samples blows
+    # the HBM budget (measured 20 GB at n5=2048, B=64); lax.map over
+    # fixed-size chunks bounds the live set while keeping each chunk batched
+    chunk = 256
+    if n5 > chunk and n5 % chunk == 0:
+        Es5, valid5 = jax.lax.map(
+            jax.vmap(solve_five), idx5.reshape(n5 // chunk, chunk, 5))
+    else:
+        Es5, valid5 = jax.vmap(solve_five)(idx5)  # [n5, R, 3, 3], [n5, R]
     Es5 = Es5.reshape(-1, 3, 3)
     valid5 = valid5.reshape(-1)
 
@@ -560,22 +634,24 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
     hypo_ok = jnp.concatenate(
         [jnp.ones(Es8.shape[0], bool), valid5]
     )
-    residuals = jax.vmap(lambda E: sampson_sq(E, kpts0_n, kpts1_n))(Es)
-    scores = magsac_score(residuals, mask, thr_sq)
-    scores = jnp.where(hypo_ok, scores, jnp.inf)
+    scores = score_hypotheses(Es, hypo_ok, kpts0_n, kpts1_n, mask, thr_sq)
 
     # local optimisation on the TOP-K hypotheses (vmapped), not just the best:
     # iterated reweighted 8-point refits + a Gauss-Newton manifold polish.
     # Polishing several basins is what keeps contaminated-but-lucky samples
     # from winning under noise (the failure mode of single-candidate LO).
-    top_k = 16
-    _, top_idx = jax.lax.top_k(-scores, top_k)
+    _, top_idx = jax.lax.top_k(-scores, lo_topk)
+    res_top = sampson_sq_many(Es[top_idx], kpts0_n, kpts1_n)  # [K, N]
 
     def local_opt(E0, res0, score0):
         E_cur, res_cur, score_cur = E0, res0, score0
         for _ in range(3):
-            inl = inlier_mask(res_cur, mask, thr_sq)
-            w = inl.astype(kpts0_n.dtype) / jnp.sqrt(1.0 + res_cur / thr_sq)
+            # soft Cauchy weights with support WIDER than the inlier gate
+            # (2x threshold): when the true noise is at or above the user
+            # threshold, a hard gate cuts half the genuine inliers and the
+            # refit sees a biased subset — the same reason MAGSAC's
+            # sigma-consensus fits up to sigma_max > threshold
+            w = mask.astype(kpts0_n.dtype) / (1.0 + res_cur / (4.0 * thr_sq))
             E_refit = _eight_point(kpts0_n, kpts1_n, w)
             refit_res = sampson_sq(E_refit, kpts0_n, kpts1_n)
             refit_score = magsac_score(refit_res, mask, thr_sq)
@@ -598,19 +674,20 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
         return E_cur, res_cur, score_cur
 
     E_c, res_c, score_c = jax.vmap(local_opt)(
-        Es[top_idx], residuals[top_idx], scores[top_idx]
+        Es[top_idx], res_top, scores[top_idx]
     )
     winner = jnp.argmin(score_c)
     E_final = E_c[winner]
     res_final = res_c[winner]
     score_final = score_c[winner]
 
-    # EM-style final convergence on the winner: alternate inlier extraction
-    # with a GN polish, keeping the best score seen
+    # EM-style final convergence on the winner: alternate soft re-weighting
+    # with a GN polish, keeping the best score seen (soft Cauchy support at
+    # 2x threshold rather than a hard gate — see the LO comment; the
+    # score-improvement guard makes this strictly no-worse)
     for _ in range(2):
-        inl = inlier_mask(res_final, mask, thr_sq)
-        E_em = refine_essential_gn(E_final, kpts0_n, kpts1_n,
-                                   inl.astype(kpts0_n.dtype), n_iters=8)
+        w_em = mask.astype(kpts0_n.dtype) / (1.0 + res_final / (4.0 * thr_sq))
+        E_em = refine_essential_gn(E_final, kpts0_n, kpts1_n, w_em, n_iters=8)
         em_res = sampson_sq(E_em, kpts0_n, kpts1_n)
         em_score = magsac_score(em_res, mask, thr_sq)
         use = em_score < score_final
@@ -624,10 +701,10 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512):
     return E_final, inliers, valid
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "n5"))
 @_f32_matmuls
 def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
-                   n_iters: int = 512):
+                   n_iters: int = 512, n5: int | None = None):
     """Batched up-to-scale relative pose from 2D-2D correspondences.
 
     Equivalent of EssentialMatrixSolver.estimate_pose (reference
@@ -651,7 +728,8 @@ def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
 
     def per_pair(key, x0, x1, m, thr):
         k_e, k_h = jax.random.split(key)
-        E, inl_e, valid = estimate_essential(k_e, x0, x1, m, thr, n_iters)
+        E, inl_e, valid = estimate_essential(k_e, x0, x1, m, thr, n_iters,
+                                             n5=n5)
         R_e, t_e, n_e, _ = cheirality_pose(E, x0, x1, inl_e)
 
         # planar-degeneracy rescue (DEGENSAC role): when a single homography
@@ -682,43 +760,79 @@ def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
 
 def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
                             n_iters: int = 512, cheap_factor: int = 4,
-                            max_fail_prob: float = 0.01):
-    """Two-tier batched essential-matrix estimation (host-level driver).
+                            max_fail_prob: float = 0.01,
+                            full_n5: int | None = None):
+    """Three-tier batched essential-matrix estimation (host-level driver).
 
     OpenCV's USAC terminates adaptively once enough iterations ran for the
     observed inlier ratio (reference pose_solver.py:46-48, prob=0.9999); a
     fixed-shape TPU dispatch cannot early-exit, so this mirrors the effect
-    with a compile-count ladder: dispatch the cheap budget (n_iters /
-    cheap_factor) for the whole batch, read back each pair's inlier ratio w,
-    and re-solve at the full budget only when the cheap tier's probability of
-    having missed every all-inlier sample — (1-w^5)^n5 (1-w^8)^n8 — exceeds
-    ``max_fail_prob``. Easy batches (low outlier ratios) never pay for the
-    full budget; hard ones get it.
+    with a compile-count ladder of (n_iters, n5) budgets: a cheap sweep for
+    the whole batch, the standard budget for moderate pairs, and a
+    5-point-heavy tier (``full_n5``, default 4 x n_iters) for the hard tail
+    — at low inlier ratios the minimal 5-point samples are what find the
+    basin (w^5 >> w^8), so the escalation buys samples where they matter.
+    After each tier every pair's inlier ratio w is read back and the pair
+    escalates only if that tier's probability of having missed every
+    all-inlier sample — (1-w^5)^n5 (1-w^8)^n8 — exceeds ``max_fail_prob``.
+    Escalating pairs are GATHERED into a power-of-two sub-batch, so the
+    compile count stays log2(B) per tier and easy batches never pay for
+    hard ones.
 
     Same contract as :func:`essential_pose`.
     """
+    if full_n5 is None:
+        full_n5 = 4 * n_iters
     cheap = max(n_iters // cheap_factor, 32)
-    k1, k2 = jax.random.split(key)
-    out1 = essential_pose(k1, kpts0, kpts1, mask, K0, K1, pix_threshold,
-                          n_iters=cheap)
+    # (n_iters, n5) ladder: cheap sweep for the easy bulk, the standard
+    # budget for moderate pairs, a 5-point-heavy tier for the hard tail
+    tiers = [(cheap, max(cheap // 4, 32)),
+             (n_iters, max(n_iters // 4, 32)),
+             (n_iters, full_n5)]
+
+    B = kpts0.shape[0]
+    keys = jax.random.split(key, len(tiers))
+    out = essential_pose(keys[0], kpts0, kpts1, mask, K0, K1, pix_threshold,
+                         n_iters=tiers[0][0], n5=tiers[0][1])
 
     n_valid = np.maximum(np.asarray(jnp.sum(mask, axis=1)), 1)
-    n_inl = np.asarray(jnp.sum(out1["inlier_mask"] & mask, axis=1))
-    w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
-    n5, n8 = max(cheap // 4, 32), cheap
-    log_fail = n5 * np.log1p(-(w**5)) + n8 * np.log1p(-(w**8))
-    need_full = (log_fail > np.log(max_fail_prob)) & np.asarray(out1["valid"])
-    if not need_full.any():
-        return out1
+    log_thr = np.log(max_fail_prob)
+    prev_tier = tiers[0]
+    for t, (it_t, n5_t) in enumerate(tiers[1:], start=1):
+        # escalate a pair when the PREVIOUS tier's probability of having
+        # missed every all-inlier sample, at the observed inlier ratio w,
+        # exceeds max_fail_prob: (1-w^5)^n5 (1-w^8)^n8 (USAC's adaptive
+        # termination criterion, evaluated post hoc per tier)
+        n_inl = np.asarray(jnp.sum(out["inlier_mask"] & mask, axis=1))
+        w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
+        n8_p, n5_p = prev_tier
+        log_fail = n5_p * np.log1p(-(w**5)) + n8_p * np.log1p(-(w**8))
+        need = (log_fail > log_thr) & np.asarray(out["valid"])
+        if not need.any():
+            return out
 
-    out2 = essential_pose(k2, kpts0, kpts1, mask, K0, K1, pix_threshold,
-                          n_iters=n_iters)
-    sel = jnp.asarray(need_full)
+        # gather the hard pairs into a power-of-two sub-batch so the
+        # compile count stays log2(B) per tier
+        idx = np.nonzero(need)[0]
+        bucket = min(1 << (len(idx) - 1).bit_length(), B)
+        gather = np.concatenate(
+            [idx, np.zeros(bucket - len(idx), idx.dtype)])  # pad with pair 0
+        g = jnp.asarray(gather)
+        out_t = essential_pose(keys[t], kpts0[g], kpts1[g], mask[g], K0[g],
+                               K1[g], pix_threshold, n_iters=it_t, n5=n5_t)
 
-    def pick(a, b):
-        return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
+        sel = jnp.asarray(need)
+        scatter = np.zeros(B, np.int32)
+        scatter[idx] = np.arange(len(idx))  # rows of out_t per hard pair
+        s = jnp.asarray(scatter)
 
-    return {k: pick(out1[k], out2[k]) for k in out1}
+        def pick(a, b):
+            return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)),
+                             b[s], a)
+
+        out = {k: pick(out[k], out_t[k]) for k in out}
+        prev_tier = (it_t, n5_t)
+    return out
 
 
 def gather_depth(depth, kpts):

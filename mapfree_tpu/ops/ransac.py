@@ -70,20 +70,24 @@ def msac_score(residual_sq, mask, thr_sq):
     return jnp.sum(capped, axis=-1)
 
 
-def magsac_score(residual_sq, mask, thr_sq, n_sigmas: int = 4):
+def magsac_score(residual_sq, mask, thr_sq, n_sigmas: int = 5):
     """Sigma-marginalised robust score (MAGSAC-style) — lower is better.
 
     OpenCV's USAC_MAGSAC scores hypotheses marginalised over the unknown
     inlier noise scale instead of committing to one threshold (reference
     pose_solver.py:46-48). This is the discrete form: the truncated-quadratic
-    score is averaged over a geometric ladder of scales sigma_k = thr / 2^k,
-    each normalised to [0, 1] per point, so a hypothesis is rewarded for
+    score is averaged over a geometric ladder of scales sigma_k = 2 thr /
+    2^k, each normalised to [0, 1] per point, so a hypothesis is rewarded for
     fitting its inliers *tightly*, not merely for clearing one threshold —
-    the property that separates competing epipolar basins under noise.
+    the property that separates competing epipolar basins under noise. The
+    ladder extends one step ABOVE the nominal threshold (MAGSAC marginalises
+    up to sigma_max > threshold): when the true noise exceeds the user
+    threshold, the wide scale still sees the inlier structure that the
+    truncated scales cut off.
     """
     total = 0.0
     for k in range(n_sigmas):
-        s = thr_sq / (4.0**k)
+        s = 4.0 * thr_sq / (4.0**k)
         capped = jnp.where(mask, jnp.minimum(residual_sq, s), s)
         total = total + jnp.sum(capped, axis=-1) / s
     return total / n_sigmas

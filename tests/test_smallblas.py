@@ -137,3 +137,30 @@ def test_det_small_matches_lapack():
     # det3 closed form
     A3 = rng.normal(size=(256, 3, 3)).astype(np.float32)
     assert np.max(np.abs(np.asarray(det3(jnp.asarray(A3))) - np.linalg.det(A3))) < 1e-4
+
+
+def test_qr_solve_matches_lapack():
+    from mapfree_tpu.geom.smallblas import qr_solve
+
+    rng = np.random.default_rng(5)
+    for n, m in ((3, 1), (9, 4), (10, 10)):
+        A = rng.normal(size=(256, n, n)).astype(np.float32)
+        B = rng.normal(size=(256, n, m)).astype(np.float32)
+        X = np.asarray(qr_solve(jnp.asarray(A), jnp.asarray(B)))
+        # Householder QR is backward stable: judge by residual, not by
+        # distance to the f64 solution (random f32 matrices can be
+        # arbitrarily ill-conditioned, which blows up forward error for
+        # ANY solver)
+        resid = np.abs(np.einsum("bij,bjm->bim", A, X) - B)
+        scale = (np.abs(A).sum(-1).max(-1) * np.abs(X).max((-2, -1)))[
+            :, None, None] + 1.0
+        assert np.max(resid / scale) < 1e-5, (n, m)
+    # singular A -> non-finite or useless-residual garbage; callers mask
+    # such hypotheses by score/validity (RANSAC semantics), so the only
+    # contract is that the output does NOT masquerade as a solution
+    A = rng.normal(size=(8, 6, 6)).astype(np.float32)
+    B = rng.normal(size=(8, 6, 2)).astype(np.float32)
+    A[:, -1] = A[:, 0]  # exactly dependent rows, B inconsistent
+    X = np.asarray(qr_solve(jnp.asarray(A), jnp.asarray(B)))
+    resid = np.abs(np.einsum("bij,bjm->bim", A, X) - B).max((-2, -1))
+    assert np.all(~np.isfinite(X).all((-2, -1)) | (resid > 1e-2))

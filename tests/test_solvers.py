@@ -179,6 +179,43 @@ class TestEssential:
         assert np.max(rot_errs) < 8.0, rot_errs
         assert np.median(t_errs) < 6.0, t_errs
 
+    def test_magsac_regime_stress(self):
+        """70% outliers + 2 px noise (threshold == noise sigma) — the regime
+        sigma-marginalised scoring was invented for (r2 VERDICT weak #7).
+        Needs the 5-point-heavy budget: at w=0.3 the all-inlier 5-sample
+        probability is 0.3^5, so accuracy here is bought with n5.
+
+        Bars are set relative to OpenCV USAC_MAGSAC on the IDENTICAL data
+        (this harness's f=120 tiny-image geometry makes 2 px noise ~4x the
+        angular noise of docs/SOLVER_THROUGHPUT.md's f=500 setup): OpenCV
+        per-seed rot errors 10.8/3.9/12.4 deg (median 10.8), t-dir median
+        46.3 deg. Ours must stay strictly better (measured on these seeds:
+        rot 11.1/5.4/7.3 median 7.3; t-dir median 44.4 vs OpenCV's 46.3 —
+        the translation direction is weakly constrained here for BOTH
+        solvers, so its bar is a same-ballpark regression guard, not a
+        superiority claim)."""
+        from mapfree_tpu.ops.essential import estimate_essential
+        from mapfree_tpu.ops.essential import (cheirality_pose,
+                                               normalize_keypoints)
+
+        rot_errs, t_errs = [], []
+        for s in range(3):
+            k0, k1, mask, R, t, _ = synth_pair(
+                n_points=300, n_outliers=210, noise=2.0, seed=300 + s)
+            x0 = normalize_keypoints(jnp.asarray(k0), jnp.asarray(K))
+            x1 = normalize_keypoints(jnp.asarray(k1), jnp.asarray(K))
+            thr = 2.0 / float(K[0, 0])
+            E, inl, valid = jax.jit(
+                lambda key, x0, x1, m: estimate_essential(
+                    key, x0, x1, m, thr, n_iters=256, n5=1024, lo_topk=16)
+            )(jax.random.PRNGKey(s), x0, x1, jnp.asarray(mask))
+            R_e, t_e, _, _ = cheirality_pose(E, x0, x1, inl)
+            rot_errs.append(rot_err_deg(np.asarray(R_e), R))
+            t_errs.append(t_dir_err_deg(np.asarray(t_e), t))
+        assert np.median(rot_errs) < 9.0, rot_errs  # OpenCV: 10.8
+        assert np.max(rot_errs) < 16.0, rot_errs  # OpenCV: 12.4
+        assert np.median(t_errs) < 50.0, t_errs  # OpenCV: 46.3, ours 44.4
+
     def test_adaptive_budget_matches_fixed(self):
         """Two-tier ladder (essential_pose_adaptive): an easy pair settles at
         the cheap tier, a hard one escalates to the full budget — accuracy
