@@ -89,7 +89,8 @@ class TestSIFT:
 def test_repeatability_floor():
     """Regression guard for docs/SIFT_ACCURACY.md: TPU SIFT repeatability on
     a 15-degree rotation of a textured image must stay at OpenCV level
-    (measured 0.80 vs cv2's 0.65; floor set with slack)."""
+    (measured 0.91 vs cv2's 0.65/0.58 native/equal-count on the full-size
+    protocol; floor set with slack for this smaller test image)."""
     cv2 = pytest.importorskip("cv2")
     import sys
     from pathlib import Path
@@ -105,8 +106,8 @@ def test_repeatability_floor():
     img = make_texture(seed=1, H=240, W=320)
     Hm = warp_homographies(*img.shape)["rot15"]
     warped = cv2.warpPerspective(img, Hm, img.shape[::-1])
-    pA, _ = detect_tpu(img)
-    pB, _ = detect_tpu(warped)
+    pA, _, _ = detect_tpu(img)
+    pB, _, _ = detect_tpu(warped)
     rep, n = repeatability(pA, pB, Hm, *img.shape)
     assert n > 50, f"too few comparable keypoints ({n})"
     assert rep > 0.55, f"repeatability regressed: {rep:.3f}"
