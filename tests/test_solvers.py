@@ -252,6 +252,45 @@ class TestEssential:
         assert np.max(rot_errs) < 16.0, rot_errs  # OpenCV: 12.4
         assert np.median(t_errs) < 55.0, t_errs  # OpenCV: 46.3
 
+    def test_essential_pose_under_sharding(self):
+        """The batched solver IS the matching track's production dispatch —
+        run it with the batch sharded over the 8-device data mesh and assert
+        the accuracy contract holds shard-for-shard. Bitwise equality with
+        the unsharded run is NOT the contract: shard-shape-dependent fusion
+        changes f32 accumulation order, and RANSAC's argmin amplifies
+        epsilon score differences into different (equally valid) winners.
+        What sharding must preserve is validity + pose quality vs ground
+        truth on every pair. Complements the RPR-side sharded predict
+        coverage in tests/test_multihost.py (SURVEY §2.8)."""
+        from mapfree_tpu.parallel import make_mesh, shard_batch
+
+        B, n_dev = 8, len(jax.devices())
+        assert n_dev >= 8, "conftest forces an 8-device CPU mesh"
+        pairs = [synth_pair(n_points=96, n_outliers=24, noise=0.5, seed=40 + b)
+                 for b in range(B)]
+        k0 = jnp.asarray(np.stack([p[0] for p in pairs]), jnp.float32)
+        k1 = jnp.asarray(np.stack([p[1] for p in pairs]), jnp.float32)
+        mask = jnp.asarray(np.stack([p[2] for p in pairs]))
+        Kb = jnp.tile(jnp.asarray(K)[None], (B, 1, 1))
+        key = jax.random.PRNGKey(7)
+
+        out_single = essential_pose(key, k0, k1, mask, Kb, Kb, 2.0,
+                                    n_iters=256, n5=64)
+
+        mesh = make_mesh()
+        batch = shard_batch({"k0": k0, "k1": k1, "mask": mask, "K": Kb}, mesh)
+        out_sharded = essential_pose(
+            key, batch["k0"], batch["k1"], batch["mask"], batch["K"],
+            batch["K"], 2.0, n_iters=256, n5=64)
+
+        for out in (out_single, out_sharded):
+            assert np.asarray(out["valid"]).all()
+            for b, (_, _, _, R_gt, t_gt, _) in enumerate(pairs):
+                R_b = np.asarray(out["R"][b])
+                t_b = np.asarray(out["t"][b])
+                assert rot_err_deg(R_b, R_gt) < 3.0, b
+                assert t_dir_err_deg(t_b, t_gt) < 10.0, b
+
     def test_adaptive_budget_matches_fixed(self):
         """Two-tier ladder (essential_pose_adaptive): an easy pair settles at
         the cheap tier, a hard one escalates to the full budget — accuracy
