@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from mapfree_tpu.geom.smallblas import (det3, f32_matmuls as _f32_matmuls,
-                                        smallest_eigvecs, svd3)
+                                        qr_solve, smallest_eigvecs, svd3)
 from mapfree_tpu.geom.rotation import inv_rodrigues, rodrigues
 from mapfree_tpu.ops.ransac import masked_sample_indices
 
@@ -76,69 +76,191 @@ def _dlt_pose(X, x, w):
     return jnp.stack([R0, R1]), jnp.stack([t0, t1])
 
 
-_P3P_STARTS = jnp.asarray([
-    [0.25, 0.25, 0.25],
-    [0.5, 0.5, 0.5],
-    [1.0, 1.0, 1.0],
-    [2.0, 2.0, 2.0],
-    [1.0, 1.0, 2.0],
-    [2.0, 1.0, 1.0],
-])
+def _one_real_cubic_root(c):
+    """One guaranteed-real root of c0 x^3 + c1 x^2 + c2 x + c3 (c: [4]).
+
+    Branchless Cardano/trigonometric hybrid (jnp.where over the
+    discriminant cases) + two Newton polish steps to recover f32 accuracy
+    lost in the closed form. The leading coefficient is regularised; a
+    degenerate (near-quadratic) cubic still produces SOME finite root and
+    downstream validity gating rejects nonsense.
+    """
+    c0 = jnp.where(jnp.abs(c[0]) < 1e-20, 1e-20, c[0])
+    a, b, d = c[1] / c0, c[2] / c0, c[3] / c0
+    # depressed: t^3 + p t + q, x = t - a/3
+    p = b - a * a / 3.0
+    q = 2.0 * a**3 / 27.0 - a * b / 3.0 + d
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # one-real-root branch (disc > 0): Cardano with sign-safe cbrts
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_card = jnp.cbrt(-q / 2.0 + sq) + jnp.cbrt(-q / 2.0 - sq)
+    # three-real-roots branch (disc <= 0): trigonometric, take k=0
+    pm = jnp.minimum(p, -1e-20)  # p < 0 in this branch
+    m = 2.0 * jnp.sqrt(-pm / 3.0)
+    acos_arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
+    t_trig = m * jnp.cos(jnp.arccos(acos_arg) / 3.0)
+    x = jnp.where(disc > 0, t_card, t_trig) - a / 3.0
+    for _ in range(2):  # Newton polish on the original cubic
+        f = ((c0 * x + c[1]) * x + c[2]) * x + c[3]
+        fp = (3.0 * c0 * x + 2.0 * c[1]) * x + c[2]
+        x = x - f / jnp.where(jnp.abs(fp) < 1e-20, 1e-20, fp)
+    return x
+
+
+def _null_axis(D):
+    """Unit null vector of a (near-)rank-2 symmetric 3x3: the largest row
+    cross product (same closed-form recovery as the 5-point root step)."""
+    crosses = jnp.stack([
+        jnp.cross(D[0], D[1]), jnp.cross(D[0], D[2]), jnp.cross(D[1], D[2])])
+    norms = jnp.linalg.norm(crosses, axis=-1)
+    v = crosses[jnp.argmax(norms)]
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
 
 
 def _p3p_poses(X3, x3n):
-    """P3P: poses from 3 3D-2D correspondences (planar-safe minimal solver).
+    """P3P by Lambda-Twist (Persson & Nordberg, ECCV 2018) — closed form,
+    planar-safe, all (up to 4) solutions; the SURVEY-prescribed minimal
+    solver for the reference's cv.solvePnPRansac(SOLVEPNP_P3P) role
+    (reference pose_solver.py:209-213, SURVEY §2.9 #5).
 
-    Solves the Grunert depth system
-        s_i^2 + s_j^2 - 2 s_i s_j cos(angle_ij) = |P_i - P_j|^2
-    with damped Newton from several deterministic starts (branchless; the up
-    to 4 true solutions are covered by start multiplicity and RANSAC sample
-    redundancy), then recovers (R, t) by Kabsch on the 3 camera-frame points.
+    Depth system: with unit bearings y_i and depths L_i, the pairwise
+    distance constraints are L^T M_jk L = a_jk for three rank-2 forms M.
+    Two homogeneous combinations D1, D2 have a pencil D1 + g D2 whose
+    determinant is cubic in g; at a real root the form is rank 2 and
+    factors the solution set into two planes; intersecting each plane with
+    the D1-cone is a quadratic — four closed-form depth candidates, scaled
+    back through one inhomogeneous constraint. No iteration, no
+    nonsymmetric eigendecomposition; one cubic root + one 2x2 symmetric
+    eigensplit + two quadratics per sample, all branchless.
 
     Args:
         X3: [3, 3] 3D points; x3n: [3, 2] normalized image coords.
-    Returns (R [S, 3, 3], t [S, 3], valid [S]) for S starts.
+    Returns (R [4, 3, 3], t [4, 3], valid [4]).
     """
     from mapfree_tpu.geom.procrustes import procrustes
 
-    f = jnp.concatenate([x3n, jnp.ones_like(x3n[:, :1])], axis=-1)
-    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)  # bearings [3, 3]
-    cos_ab = jnp.asarray([f[1] @ f[2], f[0] @ f[2], f[0] @ f[1]])
-    d_sq = jnp.asarray([
-        jnp.sum((X3[1] - X3[2]) ** 2),
-        jnp.sum((X3[0] - X3[2]) ** 2),
-        jnp.sum((X3[0] - X3[1]) ** 2),
-    ])
+    dtype = X3.dtype
+    y = jnp.concatenate([x3n, jnp.ones_like(x3n[:, :1])], axis=-1)
+    y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)  # bearings [3, 3]
+    b12, b13, b23 = y[0] @ y[1], y[0] @ y[2], y[1] @ y[2]
+    a12 = jnp.sum((X3[0] - X3[1]) ** 2)
+    a13 = jnp.sum((X3[0] - X3[2]) ** 2)
+    a23 = jnp.sum((X3[1] - X3[2]) ** 2)
 
-    # isoceles-triangle scale estimate for the starts
-    denom = jnp.sqrt(jnp.maximum(2.0 * (1.0 - cos_ab), 1e-9))
-    s_bar = jnp.mean(jnp.sqrt(d_sq) / denom)
-    starts = _P3P_STARTS * s_bar  # [S, 3]
+    def pair_form(i, j, b):
+        M = jnp.zeros((3, 3), dtype)
+        M = M.at[i, i].set(1.0).at[j, j].set(1.0)
+        M = M.at[i, j].set(-b).at[j, i].set(-b)
+        return M
 
-    def residual(s):
-        return jnp.asarray([
-            s[1] ** 2 + s[2] ** 2 - 2 * s[1] * s[2] * cos_ab[0] - d_sq[0],
-            s[0] ** 2 + s[2] ** 2 - 2 * s[0] * s[2] * cos_ab[1] - d_sq[1],
-            s[0] ** 2 + s[1] ** 2 - 2 * s[0] * s[1] * cos_ab[2] - d_sq[2],
-        ])
+    M12 = pair_form(0, 1, b12)
+    M13 = pair_form(0, 2, b13)
+    M23 = pair_form(1, 2, b23)
+    D1 = M12 * a23 - M23 * a12
+    D2 = M13 * a23 - M23 * a13
 
-    def newton(s0):
-        def step(s, _):
-            r = residual(s)
-            J = jax.jacfwd(residual)(s)
-            delta = jnp.linalg.solve(J + 1e-9 * jnp.eye(3), r)
-            s_new = jnp.maximum(s - delta, 1e-6)
-            better = jnp.sum(residual(s_new) ** 2) < jnp.sum(r**2)
-            return jnp.where(better, s_new, s), None
+    # det(D1 + g D2) coefficients by column substitution (det3 is closed
+    # form): [g^3, g^2, g^1, g^0]
+    def mix(A, B, which):
+        cols = [A[:, k] if w == 0 else B[:, k] for k, w in enumerate(which)]
+        return det3(jnp.stack(cols, axis=1))
 
-        s, _ = jax.lax.scan(step, s0, None, length=12)
-        ok = jnp.sum(residual(s) ** 2) < 1e-6 * jnp.maximum(jnp.sum(d_sq), 1e-9)
-        return s, ok
+    c3 = det3(D2)
+    c2 = mix(D1, D2, (0, 1, 1)) + mix(D1, D2, (1, 0, 1)) + mix(D1, D2, (1, 1, 0))
+    c1 = mix(D1, D2, (0, 0, 1)) + mix(D1, D2, (0, 1, 0)) + mix(D1, D2, (1, 0, 0))
+    c0 = det3(D1)
+    g = _one_real_cubic_root(jnp.stack([c3, c2, c1, c0]))
+    D0 = D1 + g * D2  # rank-2 symmetric
 
-    depths, valid = jax.vmap(newton)(starts)  # [S, 3], [S]
-    Z = depths[..., None] * f[None]  # camera-frame points [S, 3, 3]
+    # eigensplit of D0: null axis u3 closed-form; the nonzero pair from the
+    # 2x2 restriction to the orthogonal complement
+    u3 = _null_axis(D0)
+    seed = jnp.where(jnp.abs(u3[0]) < 0.9,
+                     jnp.asarray([1.0, 0.0, 0.0], dtype),
+                     jnp.asarray([0.0, 1.0, 0.0], dtype))
+    w1 = jnp.cross(u3, seed)
+    w1 = w1 / jnp.maximum(jnp.linalg.norm(w1), 1e-20)
+    w2 = jnp.cross(u3, w1)
+    W = jnp.stack([w1, w2], axis=1)  # [3, 2]
+    S = W.T @ D0 @ W  # [2, 2] symmetric
+    tr, dif = S[0, 0] + S[1, 1], S[0, 0] - S[1, 1]
+    rad = jnp.sqrt(jnp.maximum(dif * dif + 4.0 * S[0, 1] ** 2, 0.0))
+    sig1 = (tr + rad) / 2.0  # >= sig2
+    sig2 = (tr - rad) / 2.0
+    # eigvec of the 2x2 for sig1 (branchless; the other is its rotation)
+    e1 = jnp.where(
+        jnp.abs(S[0, 1]) > 1e-20 * jnp.maximum(jnp.abs(dif), 1.0),
+        jnp.stack([S[0, 1], sig1 - S[0, 0]]),
+        jnp.where(S[0, 0] >= S[1, 1],
+                  jnp.asarray([1.0, 0.0], dtype),
+                  jnp.asarray([0.0, 1.0], dtype)))
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-20)
+    u1 = W @ e1
+    u2 = W @ jnp.stack([-e1[1], e1[0]])
+
+    # cone split: sig1 (u1.L)^2 + sig2 (u2.L)^2 = 0 -> u1.L = +-s u2.L
+    s = jnp.sqrt(jnp.maximum(-sig2 / jnp.where(
+        jnp.abs(sig1) < 1e-20, 1e-20, sig1), 0.0))
+    degenerate_cone = sig2 > -1e-12 * jnp.abs(sig1)  # not an indefinite pair
+
+    def plane_candidates(sgn):
+        n = u1 - sgn * s * u2  # plane normal: n.L = 0
+        v1 = jnp.cross(n, u3)
+        v1n = jnp.linalg.norm(v1)
+        v1 = v1 / jnp.maximum(v1n, 1e-20)
+        v2 = jnp.cross(n, v1)
+        v2 = v2 / jnp.maximum(jnp.linalg.norm(v2), 1e-20)
+        # restrict the D1 cone to the plane: quadratic in alpha/beta
+        q11 = v1 @ D1 @ v1
+        q12 = v1 @ D1 @ v2
+        q22 = v2 @ D1 @ v2
+        disc = jnp.maximum(q12 * q12 - q11 * q22, 0.0)
+        root = jnp.sqrt(disc)
+        q11s = jnp.where(jnp.abs(q11) < 1e-20, 1e-20, q11)
+        dirs = jnp.stack([
+            (-q12 + root) / q11s * v1 + v2,
+            (-q12 - root) / q11s * v1 + v2,
+        ])  # [2, 3]
+        ok = jnp.stack([disc >= 0.0, disc >= 0.0])
+        return dirs, ok
+
+    dirs_p, ok_p = plane_candidates(jnp.asarray(1.0, dtype))
+    dirs_m, ok_m = plane_candidates(jnp.asarray(-1.0, dtype))
+    dirs = jnp.concatenate([dirs_p, dirs_m])  # [4, 3]
+    ok = jnp.concatenate([ok_p, ok_m]) & ~degenerate_cone
+
+    # scale through L^T M12 L = a12; depths must be positive
+    quad = jnp.einsum("ki,ij,kj->k", dirs, M12, dirs)
+    rho = jnp.sqrt(a12 / jnp.maximum(quad, 1e-20))
+    L = rho[:, None] * dirs
+    L = L * jnp.sign(jnp.sum(L, axis=-1, keepdims=True))  # front-of-camera sign
+    valid = ok & (quad > 1e-12) & (jnp.min(L, axis=-1) > 0)
+
+    # Gauss-Newton depth polish (the paper's own recommendation): the
+    # closed form loses ~1e-3 relative accuracy in f32 on ill-conditioned
+    # samples; two Newton steps on the three distance residuals restore it.
+    # J rows are 2 M_jk L — a 3x3 solve per step via the batched QR kernel.
+    a_vec = jnp.stack([a12, a13, a23])
+    Ms = jnp.stack([M12, M13, M23])  # [3, 3, 3]
+
+    def polish(L):
+        r = jnp.einsum("i,cij,j->c", L, Ms, L) - a_vec
+        J = 2.0 * jnp.einsum("cij,j->ci", Ms, L)  # [3, 3]
+        delta = qr_solve(J, r[:, None])[:, 0]
+        L_new = L - delta
+        better = (jnp.sum((jnp.einsum("i,cij,j->c", L_new, Ms, L_new)
+                           - a_vec) ** 2) < jnp.sum(r**2))
+        return jnp.where(better, L_new, L)
+
+    for _ in range(2):
+        L = jax.vmap(polish)(L)
+
+    Z = L[..., None] * y[None]  # camera-frame points [4, 3, 3]
     R, t = procrustes(jnp.broadcast_to(X3, Z.shape), Z)  # world -> camera
-    return R, t[:, 0], valid
+    t = t[:, 0]
+    valid = (valid & jnp.isfinite(R).all(axis=(1, 2))
+             & jnp.isfinite(t).all(axis=1))
+    return R, t, valid
 
 
 def _reproj_residual_sq(R, t, X, x_norm):
