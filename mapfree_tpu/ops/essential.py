@@ -26,7 +26,7 @@ import numpy as np
 from mapfree_tpu.geom.smallblas import (det3,
                                         f32_matmuls as _f32_matmuls,
                                         qr_solve,
-                                        smallest_eigvec, smallest_eigvecs,
+                                        nullspace_qr, smallest_eigvec,
                                         svd3)
 from mapfree_tpu.ops.ransac import (
     inlier_mask,
@@ -165,9 +165,11 @@ def _five_point_candidates(x0, x1):
     A = jnp.stack(
         [u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1
     )  # [5, 9]
-    # exact 4-dim nullspace of the [5, 9] system by block inverse iteration
-    # (any orthonormal basis of the nullspace parameterises the same family)
-    basis = smallest_eigvecs(A.T @ A, 4).T.reshape(4, 3, 3)
+    # exact 4-dim nullspace of the [5, 9] system by one Householder QR of
+    # A^T (any orthonormal basis of the nullspace parameterises the same
+    # family) — direct, backward stable, ~5 sequential reflections versus
+    # the Cholesky inverse-iteration route's ~25 small sequential solves
+    basis = nullspace_qr(A).T.reshape(4, 3, 3)
 
     # constraint coefficients over the 20 monomials: [10, 20]
     vals = jax.vmap(lambda p: _nister_constraints(p, basis))(

@@ -139,6 +139,24 @@ def test_det_small_matches_lapack():
     assert np.max(np.abs(np.asarray(det3(jnp.asarray(A3))) - np.linalg.det(A3))) < 1e-4
 
 
+def test_nullspace_qr_exact():
+    from mapfree_tpu.geom.smallblas import nullspace_qr
+
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(256, 5, 9)).astype(np.float32)
+    N = np.asarray(nullspace_qr(jnp.asarray(A)))
+    assert N.shape == (256, 9, 4)
+    # exact nullspace, orthonormal columns
+    assert np.abs(np.einsum("bmn,bnk->bmk", A, N)).max() < 1e-5
+    assert np.abs(np.einsum("bnk,bnl->bkl", N, N) - np.eye(4)).max() < 1e-5
+    # same subspace as scipy (projector comparison)
+    import scipy.linalg as sla
+
+    for b in range(8):
+        ns = sla.null_space(A[b])
+        assert np.abs(ns @ ns.T - N[b] @ N[b].T).max() < 1e-5
+
+
 def test_qr_solve_matches_lapack():
     from mapfree_tpu.geom.smallblas import qr_solve
 
