@@ -604,7 +604,20 @@ def estimate_essential(key, kpts0_n, kpts1_n, mask, thr, n_iters: int = 512,
         x0 = kpts0_n[sample_idx]
         x1 = kpts1_n[sample_idx]
         w = mask[sample_idx].astype(kpts0_n.dtype)
-        return _eight_point(x0, x1, w)
+        # minimal 8-point sample: the [8, 9] system has exact nullity 1, so
+        # the direct QR nullspace applies (one Householder pass — the
+        # weighted least-squares _eight_point stays on inverse iteration
+        # for the over-determined LO refits)
+        u0, v0 = x0[:, 0], x0[:, 1]
+        u1, v1 = x1[:, 0], x1[:, 1]
+        ones = jnp.ones_like(u0)
+        A = jnp.stack(
+            [u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones],
+            axis=-1) * w[:, None]
+        E = nullspace_qr(A)[:, 0].reshape(3, 3)
+        U, S, Vt = svd3(E)
+        s = (S[0] + S[1]) / 2.0
+        return (U * jnp.asarray([s, s, 0.0], E.dtype)) @ Vt
 
     Es8 = jax.vmap(solve_one)(idx)  # [It, 3, 3]
 
