@@ -448,7 +448,10 @@ def refine_essential_gn(E0, x0, x1, weights, n_iters: int = 8, damping: float = 
         r = residual(params)
         J = jax.jacfwd(residual)(params)  # [N, 6]
         JtJ = J.T @ J + damping * jnp.eye(6)
-        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        # batched straight-line solve (smallblas): XLA's pivoted-LU
+        # linalg.solve lowering is microseconds per tiny system and this
+        # runs inside the per-pair GN scan
+        delta = qr_solve(JtJ, (J.T @ r)[:, None])[:, 0]
         new_params = params - delta
         better = jnp.sum(residual(new_params) ** 2) < jnp.sum(r**2)
         return jnp.where(better, new_params, params), None

@@ -290,7 +290,8 @@ def _gauss_newton(R0, t0, X, x_norm, w, n_iters=_GN_ITERS, damping=1e-6):
         J = jax.jacfwd(residual)(params)  # [2N, 6]
         JtJ = J.T @ J + damping * jnp.eye(6)
         g = J.T @ r
-        delta = jnp.linalg.solve(JtJ, g)
+        # batched straight-line solve (smallblas) — see refine_essential_gn
+        delta = qr_solve(JtJ, g[:, None])[:, 0]
         new_params = params - delta
         # keep the update only if it reduces the cost
         better = jnp.sum(residual(new_params) ** 2) < jnp.sum(r**2)
