@@ -524,6 +524,40 @@ def _ensure_native():
         )
 
 
+def _device_watchdog(timeout_s: float = 240.0):
+    """Fail fast (with a JSON line) when the TPU tunnel is unreachable.
+
+    This environment reaches its chip through a tunnel that is sometimes
+    down for hours; a jax op then blocks forever and the driver records
+    NOTHING for the round. Probe with a tiny matmul on a daemon thread: if
+    it does not complete in ``timeout_s``, print a fallback JSON line and
+    hard-exit (os._exit — the hung runtime thread cannot be joined).
+    """
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "rpr_inference_throughput",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": f"device unreachable: warm-up matmul did not complete "
+                     f"in {timeout_s:.0f}s (TPU tunnel down)",
+        }))
+        os._exit(2)
+
+
 def main():
     import jax
 
@@ -531,6 +565,8 @@ def main():
     # compile cold; cached reruns start in seconds
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    _device_watchdog()
 
     _ensure_native()
     _make_bench_scenes()
