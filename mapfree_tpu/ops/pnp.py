@@ -201,7 +201,10 @@ def _p3p_poses(X3, x3n):
     # cone split: sig1 (u1.L)^2 + sig2 (u2.L)^2 = 0 -> u1.L = +-s u2.L
     s = jnp.sqrt(jnp.maximum(-sig2 / jnp.where(
         jnp.abs(sig1) < 1e-20, 1e-20, sig1), 0.0))
-    degenerate_cone = sig2 > -1e-12 * jnp.abs(sig1)  # not an indefinite pair
+    # the cone split needs an indefinite pair sig1 > 0 > sig2; anything else
+    # (PSD, NSD, or near-zero) is a degenerate sample
+    degenerate_cone = (sig2 > -1e-12 * jnp.abs(sig1)) | (
+        sig1 < 1e-12 * jnp.abs(sig2))
 
     def plane_candidates(sgn):
         n = u1 - sgn * s * u2  # plane normal: n.L = 0
