@@ -36,9 +36,23 @@ def masked_sample_indices(key, mask, n_iters: int, sample_size: int):
     # shift-past-chosen scheme was also exact but its per-pick sort chain
     # cost ~29 ms per 512-draw call on TPU — it was the single hottest op
     # of the essential-solver pipeline after the minimal-solver rebuild.)
-    u = jax.random.uniform(key, (n_iters, N))
-    u = jnp.where(mask[None, :], u, -1.0)
-    _, idx = jax.lax.top_k(u, sample_size)  # [n_iters, sample_size]
+    chunk = 256
+
+    def draw(k, rows):
+        u = jax.random.uniform(k, (rows, N))
+        u = jnp.where(mask[None, :], u, -1.0)
+        _, idx = jax.lax.top_k(u, sample_size)  # [rows, sample_size]
+        return idx
+
+    if n_iters > chunk and n_iters % chunk == 0:
+        # bound the [rows, N] uniform transient: at the 5-point-heavy
+        # budgets (n_iters=2048, N=2048, vmapped over B=64 pairs) the flat
+        # draw would materialise a ~1 GB tensor for 8 B of output per row
+        idx = jax.lax.map(
+            lambda k: draw(k, chunk),
+            jax.random.split(key, n_iters // chunk)).reshape(n_iters, -1)
+    else:
+        idx = draw(key, n_iters)
     # fewer valid points than the minimal set: top_k falls through to
     # invalid (-1-keyed) slots; remap those picks to the first valid index.
     # Repeats are then unavoidable — the caller's min-count gate rejects the
