@@ -94,13 +94,17 @@ def bench_model_only(cfg, batch_sizes=(32, 64)):
 
     net = build_regression_net(cfg)
     h, w = cfg.DATASET.HEIGHT, cfg.DATASET.WIDTH
-    rng = np.random.default_rng(0)
 
     best = (0.0, 0)
     for B in batch_sizes:
         k1, k2 = 2, 5
-        xs0 = jnp.asarray(rng.normal(size=(k2, B, h, w, 3)), jnp.float32)
-        xs1 = jnp.asarray(rng.normal(size=(k2, B, h, w, 3)), jnp.float32)
+        # synthetic inputs are generated ON DEVICE: shipping GBs of random
+        # f32 through the tunnel was once measured at 3.6 MB/s (minutes per
+        # array) and has nothing to do with the quantity under test
+        gen = jax.jit(
+            lambda key: jax.random.normal(key, (k2, B, h, w, 3), jnp.float32))
+        xs0 = gen(jax.random.PRNGKey(1))
+        xs1 = gen(jax.random.PRNGKey(2))
         variables = jax.jit(net.init, static_argnums=(3,))(
             jax.random.PRNGKey(0), xs0[0], xs1[0], False
         )
@@ -148,13 +152,15 @@ def bench_train(cfg, batch: int = 16):
 
     net = build_regression_net(cfg)
     h, w = cfg.DATASET.HEIGHT, cfg.DATASET.WIDTH
-    rng = np.random.default_rng(0)
     B = batch
     tx = make_optimizer(cfg.TRAINING)
 
     k1, k2 = 1, 2
-    xs0 = jnp.asarray(rng.normal(size=(k2, B, h, w, 3)), jnp.float32)
-    xs1 = jnp.asarray(rng.normal(size=(k2, B, h, w, 3)), jnp.float32)
+    # on-device synthetic inputs (see bench_model_only for why)
+    gen = jax.jit(
+        lambda key: jax.random.normal(key, (k2, B, h, w, 3), jnp.float32))
+    xs0 = gen(jax.random.PRNGKey(1))
+    xs1 = gen(jax.random.PRNGKey(2))
     eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
     batch0 = {"image0": xs0[0], "image1": xs1[0], "T_0to1": eye}
     state = init_state(net, cfg, jax.random.PRNGKey(0), batch0)

@@ -125,6 +125,8 @@ _CN.TPU.SEED = 0
 _CN.TPU.PROFILE_DIR = None      # jax.profiler trace output dir
 _CN.TPU.INFER_BATCH = 8         # batched inference size for the submission sweep
 _CN.TPU.UNIQUE_REFS = 4         # max deduped ref frames per inference batch
+_CN.TPU.YUV420_TRANSFER = True  # ship eval batches as planar YUV420 uint8
+#                                 (half the H2D bytes; unpacked on device)
                                 # (0 disables the on-device ref-gather path)
 _CN.TPU.MAX_CORRESPONDENCES = 2048  # fixed-shape padding for the matching track
 _CN.TPU.RANSAC_ITERATIONS = 1024    # fixed hypothesis count for batched RANSAC

@@ -28,10 +28,12 @@ HAS_NATIVE_DECODER = _HAS_NATIVE
 
 
 def decode_resize_batch(paths, width: int, height: int, num_threads: int = 0,
-                        uint8: bool = False):
-    """Decode+resize a batch of JPEGs to NHWC in one call: float32 [0, 1]
-    by default, raw uint8 when ``uint8`` (4x fewer bytes to ship to the
-    device; models divide by 255 on-device).
+                        uint8: bool = False, yuv420: bool = False):
+    """Decode+resize a batch of JPEGs in one call: float32 [0, 1] NHWC by
+    default, raw uint8 NHWC when ``uint8`` (4x fewer bytes to ship to the
+    device; models divide by 255 on-device), or planar YUV420 uint8
+    [N, H*3/2, W] when ``yuv420`` (8x fewer bytes than float RGB; models
+    unpack on device via ops/image.yuv420_to_rgb).
 
     Uses the native C++ thread-pool decoder when built (python native/build.py
     — releases the GIL, one allocation for the whole batch), else falls back
@@ -39,11 +41,16 @@ def decode_resize_batch(paths, width: int, height: int, num_threads: int = 0,
     """
     if _HAS_NATIVE:
         return mapfree_native.decode_resize_batch(
-            [str(p) for p in paths], width, height, num_threads, uint8=uint8
+            [str(p) for p in paths], width, height, num_threads, uint8=uint8,
+            yuv420=yuv420,
         )
     out = np.stack(
         [read_color_image(p, resize=(width, height)) for p in paths]
     )
+    if yuv420:
+        from mapfree_tpu.ops.image import yuv420_pack_host
+
+        return yuv420_pack_host(out)
     if uint8:
         out = (out * 255.0 + 0.5).astype(np.uint8)
     return out

@@ -312,6 +312,9 @@ class ConcatDataset:
         sizes = [len(d) for d in self.datasets]
         self.cumulative_sizes = np.cumsum(sizes).tolist()
         self._decode_cache: dict = {}  # path -> decoded image (FIFO, max 16)
+        # getbatch ships planar YUV420 uint8 (half the H2D bytes) when set
+        # by the owning dataset (cfg.TPU.YUV420_TRANSFER) and dims are even
+        self.yuv420_transfer = False
 
     def __len__(self):
         return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
@@ -431,26 +434,32 @@ class ConcatDataset:
 
         from mapfree_tpu.data.io import decode_resize_batch
 
+        w, h = next(iter(sizes))
+        # planar YUV420 halves the H2D bytes; cache keys carry the format so
+        # a getitems (RGB) call on the same instance can't mix layouts
+        yuv = self.yuv420_transfer and w % 2 == 0 and h % 2 == 0
+        ckey = (lambda p: ("yuv", p)) if yuv else (lambda p: p)
+
         ref_rows, ref_of = [], {}
         for p in refs:
             if p not in ref_of:
                 ref_of[p] = len(ref_rows)
                 ref_rows.append(p)
-        new_refs = [p for p in ref_rows if p not in self._decode_cache]
+        new_refs = [p for p in ref_rows if ckey(p) not in self._decode_cache]
         # decode order [queries..., new refs...]: image1 is a zero-copy view
         decoded = decode_resize_batch(
-            queries + new_refs, *next(iter(sizes)), uint8=True)
+            queries + new_refs, w, h, uint8=True, yuv420=yuv)
         B = len(queries)
         image1 = decoded[:B]
 
         new_pos = {p: B + j for j, p in enumerate(new_refs)}
         ref_arrays = [
-            decoded[new_pos[p]] if p in new_pos else self._decode_cache[p]
+            decoded[new_pos[p]] if p in new_pos else self._decode_cache[ckey(p)]
             for p in ref_rows
         ]
         image0_unique = np.stack(ref_arrays)
         for p in ref_rows:  # refs repeat across batches of the same scene
-            self._decode_cache[p] = ref_arrays[ref_of[p]]
+            self._decode_cache[ckey(p)] = ref_arrays[ref_of[p]]
         while len(self._decode_cache) > 16:
             self._decode_cache.pop(next(iter(self._decode_cache)))
 
@@ -512,3 +521,4 @@ class MapFreeDataset(ConcatDataset):
                 )
             )
         super().__init__(data_srcs)
+        self.yuv420_transfer = bool(getattr(cfg.TPU, "YUV420_TRANSFER", False))

@@ -46,11 +46,19 @@ class RegressionNet(nn.Module):
         if self.multi_frame:
             image1 = image1[:, -1]
 
-        # images may arrive as raw uint8 (4x cheaper host->device transfer;
-        # the loader ships decoded JPEG bytes) — normalise on device
-        scale = 1.0 / 255.0 if image0.dtype == jnp.uint8 else 1.0
-        image0 = image0.astype(self.compute_dtype) * scale
-        image1 = image1.astype(self.compute_dtype) * scale
+        # images may arrive as raw uint8 NHWC (4x cheaper host->device
+        # transfer) or as planar YUV420 uint8 [B, H*3/2, W] (8x cheaper;
+        # rank-3 by construction) — normalise/unpack on device
+        def to_float(img):
+            if img.ndim == 3:
+                from mapfree_tpu.ops.image import yuv420_to_rgb
+
+                return yuv420_to_rgb(img, self.compute_dtype)
+            scale = 1.0 / 255.0 if img.dtype == jnp.uint8 else 1.0
+            return img.astype(self.compute_dtype) * scale
+
+        image0 = to_float(image0)
+        image1 = to_float(image1)
 
         # shared-weight two-view encoding in one batched dispatch: stacking
         # the views doubles the conv batch (better MXU utilisation) instead of

@@ -43,7 +43,10 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode one JPEG file to RGB8. Returns false on any failure.
+// Decode one JPEG file to interleaved 3-channel pixels. Returns false on any
+// failure. `ycbcr` selects the colour space: false -> RGB8; true -> the
+// decoder's native YCbCr (skips libjpeg's per-pixel colour transform; a
+// grayscale source is expanded to (g, 128, 128), which IS its exact YCbCr).
 // When the target dims (dw, dh) correspond EXACTLY to a libjpeg M/8 scale of
 // the source, the IDCT is run at that reduced scale (e.g. 540x720 -> 270x360
 // decodes at 4/8 scale, ~4x less IDCT work) — the downstream resize then hits
@@ -51,7 +54,7 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 // bilinear resize stays cv2-compatible.
 bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
                  int& width, int& height, int dw, int dh,
-                 std::vector<unsigned char>& filebuf) {
+                 std::vector<unsigned char>& filebuf, bool ycbcr = false) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
@@ -78,7 +81,9 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, filebuf.data(), filebuf.size());
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  const bool gray_src = cinfo.jpeg_color_space == JCS_GRAYSCALE;
+  cinfo.out_color_space =
+      ycbcr ? (gray_src ? JCS_GRAYSCALE : JCS_YCbCr) : JCS_RGB;
 
   if (dw > 0 && dh > 0) {
     const long W = cinfo.image_width, H = cinfo.image_height;
@@ -97,8 +102,9 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
 
   width = static_cast<int>(cinfo.output_width);
   height = static_cast<int>(cinfo.output_height);
-  const int stride = width * 3;
-  rgb.resize(static_cast<size_t>(stride) * height);
+  const int comps = cinfo.output_components;  // 3, or 1 for grayscale+ycbcr
+  const int stride = width * comps;
+  rgb.resize(static_cast<size_t>(width) * height * 3);
 
   std::vector<unsigned char*> rows(cinfo.rec_outbuf_height);
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -112,6 +118,17 @@ bool decode_jpeg(const std::string& path, std::vector<unsigned char>& rgb,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+
+  if (comps == 1) {
+    // expand packed grayscale to its exact YCbCr (g, 128, 128), back-to-front
+    // so reads (at i) always trail writes (at >= 3i >= i)
+    for (long i = static_cast<long>(width) * height - 1; i >= 0; --i) {
+      const unsigned char g = rgb[i];
+      rgb[3 * i + 0] = g;
+      rgb[3 * i + 1] = 128;
+      rgb[3 * i + 2] = 128;
+    }
+  }
   return true;
 }
 
@@ -198,6 +215,33 @@ void resize_normalize(const unsigned char* src, int sw, int sh, T* dst,
   }
 }
 
+// Pack interleaved YCbCr8 [dh, dw, 3] into planar YUV420 [dh*3/2, dw]:
+// rows 0..dh hold the full-res Y plane; the bottom dh/2 rows hold the
+// 2x2-box-averaged chroma side by side (U in columns 0..dw/2, V in the
+// rest). dw and dh must be even. The packed layout ships HALF the bytes of
+// interleaved 3-channel uint8 — on a remote-tunnel or PCIe link the
+// host->device transfer is the submission sweep's dominant stage, and the
+// device unpack (two small interpolation matmuls + a 3x3 colour matrix,
+// ops/image.py) is noise next to the encoder.
+void pack_yuv420(const unsigned char* ycc, int dw, int dh,
+                 unsigned char* dst) {
+  for (long i = 0; i < static_cast<long>(dw) * dh; ++i) dst[i] = ycc[3 * i];
+  unsigned char* uv = dst + static_cast<size_t>(dw) * dh;
+  const int hw = dw / 2;
+  for (int y = 0; y < dh / 2; ++y) {
+    const unsigned char* r0 = ycc + static_cast<size_t>(2 * y) * dw * 3;
+    const unsigned char* r1 = r0 + static_cast<size_t>(dw) * 3;
+    unsigned char* urow = uv + static_cast<size_t>(y) * dw;
+    for (int x = 0; x < hw; ++x) {
+      const int o = 6 * x;
+      urow[x] = static_cast<unsigned char>(
+          (r0[o + 1] + r0[o + 4] + r1[o + 1] + r1[o + 4] + 2) >> 2);
+      urow[hw + x] = static_cast<unsigned char>(
+          (r0[o + 2] + r0[o + 5] + r1[o + 2] + r1[o + 5] + 2) >> 2);
+    }
+  }
+}
+
 }  // namespace
 
 static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
@@ -206,12 +250,18 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
   int width, height;
   int num_threads = 0;
   int uint8_out = 0;
+  int yuv420 = 0;
   static const char* kwlist[] = {"paths", "width", "height", "num_threads",
-                                 "uint8", nullptr};
-  if (!PyArg_ParseTupleAndKeywords(args, kwargs, "Oii|ip",
+                                 "uint8", "yuv420", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(args, kwargs, "Oii|ipp",
                                    const_cast<char**>(kwlist), &paths_obj,
                                    &width, &height, &num_threads,
-                                   &uint8_out)) {
+                                   &uint8_out, &yuv420)) {
+    return nullptr;
+  }
+  if (yuv420 && (width % 2 != 0 || height % 2 != 0)) {
+    PyErr_SetString(PyExc_ValueError,
+                    "yuv420 output requires even width and height");
     return nullptr;
   }
 
@@ -235,13 +285,22 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
   }
   Py_DECREF(seq);
 
-  npy_intp dims[4] = {n, height, width, 3};
-  PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
-      PyArray_SimpleNew(4, dims, uint8_out ? NPY_UINT8 : NPY_FLOAT32));
+  PyArrayObject* arr;
+  size_t img_elems;
+  if (yuv420) {
+    npy_intp dims[3] = {n, height + height / 2, width};
+    arr = reinterpret_cast<PyArrayObject*>(
+        PyArray_SimpleNew(3, dims, NPY_UINT8));
+    img_elems = static_cast<size_t>(height + height / 2) * width;
+  } else {
+    npy_intp dims[4] = {n, height, width, 3};
+    arr = reinterpret_cast<PyArrayObject*>(
+        PyArray_SimpleNew(4, dims, uint8_out ? NPY_UINT8 : NPY_FLOAT32));
+    img_elems = static_cast<size_t>(height) * width * 3;
+  }
   if (!arr) return nullptr;
   void* data = PyArray_DATA(arr);
-  const size_t img_elems = static_cast<size_t>(height) * width * 3;
-  const size_t elem_size = uint8_out ? 1 : sizeof(float);
+  const size_t elem_size = (uint8_out || yuv420) ? 1 : sizeof(float);
 
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
@@ -256,13 +315,25 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
   auto worker = [&]() {
     std::vector<unsigned char> rgb;
     std::vector<unsigned char> filebuf;
+    std::vector<unsigned char> scratch;  // resized YCbCr for the yuv420 pack
     while (true) {
       const long i = next.fetch_add(1);
       if (i >= n) break;
       int sw = 0, sh = 0;
-      if (decode_jpeg(paths[i], rgb, sw, sh, width, height, filebuf) &&
+      if (decode_jpeg(paths[i], rgb, sw, sh, width, height, filebuf,
+                      yuv420 != 0) &&
           sw >= 2 && sh >= 2) {
-        if (uint8_out) {
+        if (yuv420) {
+          const unsigned char* ycc = rgb.data();
+          if (sw != width || sh != height) {
+            scratch.resize(static_cast<size_t>(width) * height * 3);
+            resize_normalize(rgb.data(), sw, sh, scratch.data(), width,
+                             height);
+            ycc = scratch.data();
+          }
+          pack_yuv420(ycc, width, height,
+                      static_cast<unsigned char*>(data) + img_elems * i);
+        } else if (uint8_out) {
           resize_normalize(rgb.data(), sw, sh,
                            static_cast<unsigned char*>(data) + img_elems * i,
                            width, height);
@@ -272,8 +343,12 @@ static PyObject* decode_resize_batch(PyObject* /*self*/, PyObject* args,
                            height);
         }
       } else {
-        std::memset(static_cast<char*>(data) + img_elems * elem_size * i, 0,
-                    img_elems * elem_size);
+        char* out = static_cast<char*>(data) + img_elems * elem_size * i;
+        std::memset(out, 0, img_elems * elem_size);
+        if (yuv420) {  // black = (Y 0, chroma 128), not (0, 0, 0)
+          std::memset(out + static_cast<size_t>(height) * width, 128,
+                      static_cast<size_t>(height / 2) * width);
+        }
         failures.fetch_add(1);
       }
     }
