@@ -148,14 +148,24 @@ class TestDatasetAndLoader:
             np.testing.assert_allclose(sample["T_0to1"], ref["T_0to1"])
             assert sample["pair_names"] == ref["pair_names"]
 
-    def test_getbatch_dedups_refs_and_matches_collate(self, tmp_path):
+    @pytest.mark.parametrize("yuv", [False, True])
+    def test_getbatch_dedups_refs_and_matches_collate(self, tmp_path, yuv):
         """The batch-level fast path must agree with collate(getitems) on
-        every field, with image0 factored into unique refs + gather index."""
+        every field, with image0 factored into unique refs + gather index.
+
+        Images are compared like-for-like per transfer format: RGB rows
+        against collate(getitems) exactly; packed-YUV420 rows against a
+        direct per-path native yuv420 decode exactly (the dedup/collation
+        machinery must not perturb bytes in either format — the lossy
+        YUV420-vs-RGB numeric bound lives in test_image_ops/test_integration).
+        """
+        from mapfree_tpu.data.io import decode_resize_batch
         from mapfree_tpu.data.loader import collate
 
         for i in range(2):
             make_scene(tmp_path / "val" / f"s{i:05}", n_queries=12, seed=i)
         c = self._make_cfg(tmp_path)
+        c.TPU.YUV420_TRANSFER = yuv
         ds = MapFreeDataset(c, "val")
         idx = [0, 1, 2, 3]  # straddles both scenes (3 pairs + 1)
         fast = ds.getbatch(idx)
@@ -164,8 +174,21 @@ class TestDatasetAndLoader:
 
         assert fast["image0_unique"].shape[0] == 2  # one ref per scene
         image0 = fast["image0_unique"][fast["ref_idx"]]
-        np.testing.assert_array_equal(image0, ref["image0"])
-        np.testing.assert_array_equal(fast["image1"], ref["image1"])
+        if yuv:
+            # oracle: the same native decoder, called per path in yuv mode
+            paths = [p for ds_i, i_i in (ds._resolve(j) for j in idx)
+                     for p in [ds_i.image_paths(i_i)]]
+            refs = [pl[0] for pl in paths]
+            queries = [pl[1] for pl in paths]
+            w, h = c.DATASET.WIDTH, c.DATASET.HEIGHT
+            np.testing.assert_array_equal(
+                image0, decode_resize_batch(refs, w, h, uint8=True, yuv420=True))
+            np.testing.assert_array_equal(
+                fast["image1"],
+                decode_resize_batch(queries, w, h, uint8=True, yuv420=True))
+        else:
+            np.testing.assert_array_equal(image0, ref["image0"])
+            np.testing.assert_array_equal(fast["image1"], ref["image1"])
         np.testing.assert_allclose(fast["T_0to1"], ref["T_0to1"])
         assert fast["pair_names"] == ref["pair_names"]
         assert fast["scene_id"] == ref["scene_id"]

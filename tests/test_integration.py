@@ -83,26 +83,31 @@ class TestRegressionSubmission:
         assert np.isfinite(metrics["Average Median Translation Error"])
 
 
+_TINY_RPR = {
+    "ENCODER.TYPE": "ResUNet", "ENCODER.BLOCK_TYPE": 0,
+    "ENCODER.NUM_BLOCKS": "1-1-1", "ENCODER.NUM_OUT_LAYERS": 8,
+    "AGGREGATOR.TYPE": "CorrelationVolumeWarping",
+    "AGGREGATOR.POSITION_ENCODER": True,
+    "AGGREGATOR.MAX_SCORE_CHANNEL": True,
+    "HEAD.TYPE": "ProcrustesDeepResBlock", "HEAD.ADD_BASIS": True,
+    "HEAD.AVG_POOL": True,
+}
+
+
 class TestUniqueRefSweep:
     def test_unique_ref_path_matches_standard(self, tmp_path):
         """The deduped-ref sweep (image0_unique + on-device gather) must
-        produce the same poses as the per-pair image0 path."""
+        produce the same poses as the per-pair image0 path.
+
+        YUV420 transfer is pinned OFF so both loaders ship identical bytes:
+        this test is the exactness contract of the dedup/gather machinery.
+        The lossy-format numeric bound is TestYuv420Accuracy below.
+        """
         for i in range(2):
             make_scene(tmp_path / "val" / f"s{i:05}", n_queries=10,
                        img_hw=(H, W), seed=i)
-        cfg = base_cfg(
-            tmp_path,
-            MODEL="Regression",
-            **{
-                "ENCODER.TYPE": "ResUNet", "ENCODER.BLOCK_TYPE": 0,
-                "ENCODER.NUM_BLOCKS": "1-1-1", "ENCODER.NUM_OUT_LAYERS": 8,
-                "AGGREGATOR.TYPE": "CorrelationVolumeWarping",
-                "AGGREGATOR.POSITION_ENCODER": True,
-                "AGGREGATOR.MAX_SCORE_CHANNEL": True,
-                "HEAD.TYPE": "ProcrustesDeepResBlock", "HEAD.ADD_BASIS": True,
-                "HEAD.AVG_POOL": True,
-            },
-        )
+        cfg = base_cfg(tmp_path, MODEL="Regression",
+                       **{**_TINY_RPR, "TPU.YUV420_TRANSFER": False})
         dataset = MapFreeDataset(cfg, "val")
         model = build_model(cfg)
         results_std = predict(
@@ -116,6 +121,61 @@ class TestUniqueRefSweep:
                 assert a.image_name == b.image_name
                 np.testing.assert_allclose(a.q, b.q, atol=1e-5)
                 np.testing.assert_allclose(a.t, b.t, atol=1e-5)
+
+
+class TestYuv420Accuracy:
+    def test_pose_shift_and_metrics_bounded(self, tmp_path):
+        """Numeric bound on the lossy default transfer format: running the
+        SAME sweep with YUV420 on vs off must shift every estimated pose by
+        less than a stated tolerance, and leave the evaluator's aggregate
+        metrics essentially unchanged.
+
+        4:2:0 chroma is lossy (box-down + triangle-up round trip, bounded at
+        the ops level in test_image_ops.py); the fixtures here are white-noise
+        JPEGs — the WORST case for chroma subsampling, so the bound is
+        conservative for real photographs. Measured on this model/scene set:
+        max |dq| 1.7e-3, max |dt| ~2e-3 (reference analog: its float RGB
+        transfer is exact, submission.py:33-58 — ours must be provably close).
+        """
+        for i in range(2):
+            make_scene(tmp_path / "val" / f"s{i:05}", n_queries=10,
+                       img_hw=(H, W), seed=i)
+
+        results, metrics = {}, {}
+        for yuv in (False, True):
+            cfg = base_cfg(tmp_path, MODEL="Regression",
+                           **{**_TINY_RPR, "TPU.YUV420_TRANSFER": yuv})
+            dataset = MapFreeDataset(cfg, "val")
+            model = build_model(cfg)
+            results[yuv] = predict(
+                DataLoader(dataset, batch_size=4, num_workers=2,
+                           unique_refs=True), model)
+            out = tmp_path / f"results_yuv{int(yuv)}"
+            out.mkdir()
+            save_submission(results[yuv], out / "submission.zip")
+            metrics[yuv] = run_benchmark(out / "submission.zip",
+                                         tmp_path / "val")
+
+        # per-pose bound (quaternion components and translation meters)
+        for scene in results[False]:
+            for a, b in zip(results[False][scene], results[True][scene]):
+                assert a.image_name == b.image_name
+                np.testing.assert_allclose(a.q, b.q, atol=1e-2)
+                np.testing.assert_allclose(a.t, b.t, atol=1e-2)
+
+        # evaluator-level bound: same frames estimated, aggregate medians
+        # move by < 1 cm / < 0.1 deg / < 1 px
+        me, my = metrics[False], metrics[True]
+        assert me["Estimates for % of frames"] == my["Estimates for % of frames"]
+        assert abs(me["Average Median Translation Error"]
+                   - my["Average Median Translation Error"]) < 1e-2
+        assert abs(me["Average Median Rotation Error"]
+                   - my["Average Median Rotation Error"]) < 0.1
+        assert abs(me["Average Median Reprojection Error"]
+                   - my["Average Median Reprojection Error"]) < 1.0
+        assert me["Precision @ Pose Error < (25.0cm, 5deg)"] == \
+            my["Precision @ Pose Error < (25.0cm, 5deg)"]
+        assert me["Precision @ VCRE < 90px"] == my["Precision @ VCRE < 90px"]
 
 
 def _make_consistent_scene(root, n_queries=10, seed=3):
