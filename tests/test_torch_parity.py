@@ -91,8 +91,43 @@ if str(REFERENCE) not in sys.path:
 
 import lib.models.regression.aggregator as torch_agg  # noqa: E402
 import lib.models.regression.head as torch_head  # noqa: E402
+import lib.models.regression.encoder.preact as _ref_preact  # noqa: E402
 from lib.models.regression.encoder.resnet import ResNet as TorchResNet  # noqa: E402
 from lib.models.regression.encoder.resunet import ResUNet as TorchResUNet  # noqa: E402
+
+
+def _torch_resnet_with_block(enc_cfg, block):
+    """Reference ResNet stage layout (resnet.py:14-37: 7x7/2 stem, three
+    stages at strides 1/2/2 with a 2x avg-pool after each) assembled around
+    an arbitrary preact block class, since the reference's own dispatch list
+    stops at PreActBottleneck. Attribute names match the reference so
+    state_dict keys convert identically."""
+    import torch.nn.functional as F_torch
+
+    class _ResNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            num_blocks = [int(x) for x in enc_cfg.NUM_BLOCKS.strip().split("-")]
+            in_planes = 64
+            self.conv1 = torch.nn.Conv2d(3, 64, kernel_size=7, stride=2,
+                                         padding=1, bias=False)
+            for i, (planes, stride, n) in enumerate(
+                    zip((64, 128, 256), (1, 2, 2), num_blocks), start=1):
+                layers = []
+                for s in [stride] + [1] * (n - 1):
+                    layers.append(block(in_planes, planes, s))
+                    in_planes = planes * block.expansion
+                setattr(self, f"layer{i}", torch.nn.Sequential(*layers))
+            self.num_out_layers = 256 * block.expansion
+
+        def forward(self, x):
+            out = self.conv1(x)
+            for i in (1, 2, 3):
+                out = getattr(self, f"layer{i}")(out)
+                out = F_torch.avg_pool2d(out, 2)
+            return out
+
+    return _ResNet()
 
 from mapfree_tpu.config import cfg as default_cfg  # noqa: E402
 from mapfree_tpu.models import build_regression_net  # noqa: E402
@@ -151,8 +186,17 @@ def torch_model(cfg):
     )
 
     torch.manual_seed(0)
-    enc_cls = {"ResNet": TorchResNet, "ResUNet": TorchResUNet}[cfg.ENCODER.TYPE]
-    encoder = enc_cls(enc_cfg)
+    if cfg.ENCODER.TYPE == "ResNet" and cfg.ENCODER.BLOCK_TYPE == 2:
+        # the reference defines PreActBottleneck_depthwise (preact.py:67-96)
+        # but never adds it to the ResNet dispatch list (resnet.py:10 holds
+        # only [PreActBlock, PreActBottleneck]); BLOCK_TYPE 2 is this
+        # framework's extension that makes the block reachable. Parity is
+        # against the reference block inside the reference stage layout.
+        encoder = _torch_resnet_with_block(
+            enc_cfg, _ref_preact.PreActBottleneck_depthwise)
+    else:
+        enc_cls = {"ResNet": TorchResNet, "ResUNet": TorchResUNet}[cfg.ENCODER.TYPE]
+        encoder = enc_cls(enc_cfg)
     aggregator = getattr(torch_agg, cfg.AGGREGATOR.TYPE)(
         agg_cfg, encoder.num_out_layers)
     head = getattr(torch_head, cfg.HEAD.TYPE)(
@@ -208,6 +252,10 @@ VARIANTS = {
     "resnet_block0": {"ENCODER.TYPE": "ResNet", "ENCODER.BLOCK_TYPE": 0,
                       "ENCODER.NUM_BLOCKS": "2-2-2", "_res": (128, 128)},
     "resnet_block1": {"ENCODER.TYPE": "ResNet", "ENCODER.BLOCK_TYPE": 1,
+                      "ENCODER.NUM_BLOCKS": "2-2-2", "_res": (128, 128)},
+    # grouped/depthwise bottleneck (reference preact.py:67-96, group count
+    # min(in_planes, planes) — reachable via ENCODER.BLOCK_TYPE 2)
+    "resnet_block2": {"ENCODER.TYPE": "ResNet", "ENCODER.BLOCK_TYPE": 2,
                       "ENCODER.NUM_BLOCKS": "2-2-2", "_res": (128, 128)},
     # mapfree/rotquat_trans.yaml / rotquat_transdirection_scale.yaml
     "rotquat_trans": {"HEAD.TYPE": "QuatDeepResBlock",
@@ -291,6 +339,45 @@ def test_full_forward_parity(variant):
             np.testing.assert_allclose(
                 np.asarray(aux[k_flax]).reshape(torch_data[k_torch].shape),
                 torch_data[k_torch].numpy(), atol=atol, rtol=1e-3)
+
+
+def test_multiframe_last_frame_parity():
+    """The MultiFrame wrapper's semantics: encode only the LAST query frame
+    (reference RegressionMultiFrameModel.forward, model.py:236-248 —
+    ``data['image1'][:, -1, ...]``). The torch side runs the submodules on
+    the sliced frame exactly as the reference forward does; the flax side
+    gets the full [B, F, H, W, 3] stack and must slice identically."""
+    import jax
+
+    cfg = flax_cfg()
+    cfg.MODEL = "RegressionMultiFrame"
+    encoder, aggregator, head = torch_model(cfg)
+
+    rng = np.random.default_rng(4)
+    B, F = 2, 3
+    im_nchw0 = rng.normal(size=(B, 3, H, W)).astype(np.float32)
+    im_nchw1 = rng.normal(size=(B, F, 3, H, W)).astype(np.float32)
+    R_torch, t_torch = run_torch(
+        encoder, aggregator, head, im_nchw0, im_nchw1[:, -1], {})
+
+    net = build_regression_net(cfg)
+    assert net.multi_frame
+    im0 = np.transpose(im_nchw0, (0, 2, 3, 1))
+    im1 = np.transpose(im_nchw1, (0, 1, 3, 4, 2))  # [B, F, H, W, 3]
+    variables = net.init(jax.random.PRNGKey(0), im0, im1, train=False)
+    converted = convert_state_dict(
+        combined_state_dict(encoder, aggregator, head), variables)
+    R_flax, t_flax, _ = net.apply(converted, im0, im1, train=False)
+    np.testing.assert_allclose(np.asarray(R_flax), R_torch, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(t_flax).reshape(t_torch.shape), t_torch, atol=5e-4, rtol=1e-3)
+
+    # a different non-final frame must CHANGE the output (the slice is [:, -1],
+    # not a mean/first-frame reduction)
+    im1_perturbed = im1.copy()
+    im1_perturbed[:, 0] += 1.0
+    R2, _, _ = net.apply(converted, im0, im1_perturbed, train=False)
+    np.testing.assert_allclose(np.asarray(R2), R_torch, atol=5e-4, rtol=1e-3)
 
 
 def test_cv_outlayers_parity():
