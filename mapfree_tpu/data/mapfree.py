@@ -360,11 +360,20 @@ class ConcatDataset:
 
         # decode each unique path once: in the eval sweep every sample of a
         # scene shares the same reference frame, so dedup + a small
-        # cross-batch cache nearly halves decode work
-        unique, by_path = [], {}
+        # cross-batch cache nearly halves decode work. Cache hits are
+        # SNAPSHOTTED at scan time (``cached``): the cache is shared across
+        # loader worker threads and evicted below, so re-reading it after
+        # this loop can KeyError (deterministically so when one batch holds
+        # >16 distinct repeated paths — the eviction outran the reads).
+        unique, by_path, cached = [], {}, {}
         for pl in path_lists:
             for p in pl:
-                if p not in by_path and p not in self._decode_cache:
+                if p in by_path or p in cached:
+                    continue
+                hit = self._decode_cache.get(p)
+                if hit is not None:
+                    cached[p] = hit
+                else:
                     by_path[p] = len(unique)
                     unique.append(p)
         decoded = (
@@ -374,7 +383,7 @@ class ConcatDataset:
         def lookup(p):
             if p in by_path:
                 return decoded[by_path[p]]
-            return self._decode_cache[p]
+            return cached[p]
 
         # cache paths that repeat within this batch (the hot ref frames)
         counts = {}
@@ -445,7 +454,15 @@ class ConcatDataset:
             if p not in ref_of:
                 ref_of[p] = len(ref_rows)
                 ref_rows.append(p)
-        new_refs = [p for p in ref_rows if ckey(p) not in self._decode_cache]
+        # snapshot cache hits NOW: the cache is shared across loader worker
+        # threads and evicted below, so a later read could miss
+        new_refs, cached = [], {}
+        for p in ref_rows:
+            hit = self._decode_cache.get(ckey(p))
+            if hit is None:
+                new_refs.append(p)
+            else:
+                cached[p] = hit
         # decode order [queries..., new refs...]: image1 is a zero-copy view
         decoded = decode_resize_batch(
             queries + new_refs, w, h, uint8=True, yuv420=yuv)
@@ -454,7 +471,7 @@ class ConcatDataset:
 
         new_pos = {p: B + j for j, p in enumerate(new_refs)}
         ref_arrays = [
-            decoded[new_pos[p]] if p in new_pos else self._decode_cache[ckey(p)]
+            decoded[new_pos[p]] if p in new_pos else cached[p]
             for p in ref_rows
         ]
         image0_unique = np.stack(ref_arrays)
@@ -475,6 +492,10 @@ class ConcatDataset:
         batch = collate(samples)
         batch["image0_unique"] = image0_unique
         batch["ref_idx"] = np.asarray([ref_of[p] for p in refs], np.int32)
+        # ref identities let the device keep a ref cache across batches: a
+        # scene's reference frame ships over the tunnel once per sweep, not
+        # once per batch (see RegressionPredictor.transfer_batch)
+        batch["ref_names"] = [(ckey(p) if yuv else p) for p in ref_rows]
         batch["image1"] = image1
         return batch
 

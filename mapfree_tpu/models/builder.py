@@ -105,6 +105,8 @@ class RegressionPredictor:
             min(self.batch_size, int(cfg.TPU.UNIQUE_REFS))
             if cfg.MODEL == "Regression" else 0
         )
+        self._dev_refs: dict = {}   # ref name -> device-resident frame
+        self._dev_zero: dict = {}   # (shape, dtype) -> device zeros pad row
         if self.u_max:
             def _forward_unique(image0u, ref_idx, image1):
                 R, t, _ = self.net.apply(self.variables, image0u, image1,
@@ -121,6 +123,34 @@ class RegressionPredictor:
                     out_shardings=sharded,
                 )
 
+    def _ship_refs(self, u, names):
+        """Assemble the [u_max, ...] unique-ref device stack, shipping only
+        rows the device does not already hold. Each scene's reference frame
+        crosses the tunnel ONCE per sweep (names key it), and the pad rows
+        up to u_max are materialised on device instead of shipped as zeros —
+        on a bandwidth-bound link both savings are direct throughput."""
+        shape, dtype = u.shape[1:], u.dtype
+        if names is None or len(names) != u.shape[0]:
+            if u.shape[0] < self.u_max:
+                u = np.concatenate([
+                    u, np.zeros((self.u_max - u.shape[0],) + shape, dtype)])
+            return jnp.asarray(u)
+        rows = []
+        for j, nm in enumerate(names):
+            a = self._dev_refs.get(nm)
+            if a is None:
+                a = jnp.asarray(u[j])
+                self._dev_refs[nm] = a
+                while len(self._dev_refs) > 16:
+                    self._dev_refs.pop(next(iter(self._dev_refs)))
+            rows.append(a)
+        zkey = (shape, str(dtype))
+        zero = self._dev_zero.get(zkey)
+        if zero is None and len(rows) < self.u_max:
+            zero = self._dev_zero[zkey] = jnp.zeros(shape, dtype)
+        rows += [zero] * (self.u_max - len(rows))
+        return jnp.stack(rows)  # device-side concat, no host bytes
+
     def transfer_batch(self, batch, times=None):
         """Host->device stage: pad the final partial batch and ship the
         arrays. Returns (device_args, B). Runs safely on a worker thread, so
@@ -135,10 +165,6 @@ class RegressionPredictor:
             if self.u_max and u.shape[0] <= self.u_max:
                 image1 = np.asarray(batch["image1"])
                 B = image1.shape[0]
-                if u.shape[0] < self.u_max:
-                    u = np.concatenate([
-                        u, np.zeros((self.u_max - u.shape[0],) + u.shape[1:],
-                                    u.dtype)])
                 if B < self.batch_size:
                     pad = self.batch_size - B
                     image1 = np.concatenate([
@@ -146,8 +172,8 @@ class RegressionPredictor:
                         np.zeros((pad,) + image1.shape[1:], image1.dtype)])
                     ridx = np.concatenate([ridx, np.zeros(pad, np.int32)])
                 with times.stage("h2d"):
-                    dev = [jnp.asarray(u), jnp.asarray(ridx),
-                           jnp.asarray(image1)]
+                    dev_u = self._ship_refs(u, batch.get("ref_names"))
+                    dev = [dev_u, jnp.asarray(ridx), jnp.asarray(image1)]
                     for a in dev:
                         a.block_until_ready()
                 return ("unique", dev, B)
@@ -212,8 +238,18 @@ class RegressionPredictor:
 
 
 class MatchingPredictor:
+    """Exposes the same transfer/dispatch split as RegressionPredictor, so
+    the submission sweep pipelines correspondence fetch + H2D of batch i+1
+    under the solver dispatch of batch i."""
+
     def __init__(self, cfg):
         self.model = FeatureMatchingModel(cfg)
+
+    def transfer_batch(self, batch, times=None):
+        return self.model.transfer_batch(batch, times)
+
+    def dispatch_device(self, transferred, times=None):
+        return self.model.dispatch_device(transferred, times)
 
     def predict_batch(self, batch):
         return self.model(batch)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from mapfree_tpu.ops.essential import (essential_pose,
                                        essential_pose_adaptive,
+                                       essential_pose_metric,
                                        metric_scale_from_depth)
 from mapfree_tpu.ops.matching import mutual_2nn_ratio_match
 from mapfree_tpu.ops.pnp import pnp_pose
@@ -220,91 +221,186 @@ class FeatureMatchingModel:
 
             self.depth_net = DepthPredictor(cfg)
 
-    def __call__(self, batch):
-        """batch: collated dict with numpy arrays. Returns (R [B,3,3],
-        t [B,1,3], inliers [B]) numpy; NaN pose where estimation failed."""
+    @staticmethod
+    def _gather_depth_host(depth, kpts):
+        """Host mirror of ops.essential.gather_depth at floor(kpts): sample
+        [B, H, W] maps at the keypoints so the tunnel ships [B, N] depths
+        instead of full maps (~50x fewer bytes at 2048 correspondences)."""
+        depth = np.asarray(depth)
+        B, H, W = depth.shape
+        x = np.clip(np.floor(kpts[..., 0]).astype(np.int64), 0, W - 1)
+        y = np.clip(np.floor(kpts[..., 1]).astype(np.int64), 0, H - 1)
+        return depth[np.arange(B)[:, None], y, x].astype(np.float32)
+
+    def _depth_map_host(self, batch, key_):
+        """Host depth map with the same validation as :meth:`_depth_map`."""
+        d = batch.get(key_)
+        if d is None or np.ndim(d) != 3 or np.shape(d)[-1] == 0:
+            raise ValueError(
+                f"solver {self.solver} requires depth maps; set "
+                "DATASET.ESTIMATED_DEPTH or DEPTH_NET.ENABLED"
+            )
+        return d
+
+    def _depth_map(self, batch, key_):
+        if self.depth_net is not None:
+            # in-graph depth from the batch images (one dispatch per view)
+            return self.depth_net(batch["image0" if key_ == "depth0"
+                                        else "image1"])
+        d = batch[key_]
+        if d.ndim != 3 or d.shape[-1] == 0:
+            raise ValueError(
+                f"solver {self.solver} requires depth maps; set "
+                "DATASET.ESTIMATED_DEPTH or DEPTH_NET.ENABLED"
+            )
+        return jnp.asarray(d)
+
+    def transfer_batch(self, batch, times=None):
+        """Host stage (safe on a worker thread): correspondence fetch, host
+        depth gather, H2D of the solver inputs. Returns the device-resident
+        argument pack for :meth:`dispatch_device`."""
+        from mapfree_tpu.utils.timing import NULL_TIMES
+
+        times = times or NULL_TIMES
         cfg = self.cfg
-        pts0, pts1, mask = self.feature_matching.get_correspondences(batch)
+        with times.stage("correspondences"):
+            pts0, pts1, mask = self.feature_matching.get_correspondences(batch)
         B = pts0.shape[0]
         key = jax.random.PRNGKey(self._step)
         self._step += 1
 
-        K0 = jnp.asarray(batch["K_color0"])
-        K1 = jnp.asarray(batch["K_color1"])
-        pts0 = jnp.asarray(pts0)
-        pts1 = jnp.asarray(pts1)
-        maskj = jnp.asarray(mask)
+        metric = (self.solver.startswith("EssentialMatrix")
+                  and self.solver != "EssentialMatrix")
+        dev = {}
+        host_extra = {}
+        # pre-gather point depths on the host whenever the solver only needs
+        # depth AT the correspondences (essential-metric, PnP); full maps
+        # ship only for Procrustes (dense clouds) or the in-graph depth net
+        if metric and self.depth_net is None:
+            with times.stage("depth_gather"):
+                dev["d0"] = self._gather_depth_host(
+                    self._depth_map_host(batch, "depth0"), pts0)
+                dev["d1"] = self._gather_depth_host(
+                    self._depth_map_host(batch, "depth1"), pts1)
+        elif self.solver == "PNP" and self.depth_net is None:
+            with times.stage("depth_gather"):
+                dev["d0"] = self._gather_depth_host(
+                    self._depth_map_host(batch, "depth0"), pts0)
+        elif self.solver == "Procrustes":
+            d0 = self._depth_map(batch, "depth0")
+            d1 = self._depth_map(batch, "depth1")
+            dev["depth0"], dev["depth1"] = d0, d1
+            if bool(cfg.PROCRUSTES.REFINE):
+                with times.stage("depth_gather"):
+                    d0_np, d1_np = np.asarray(d0), np.asarray(d1)
+                    clouds0, masks0, clouds1, masks1 = [], [], [], []
+                    for i in range(B):
+                        c0, mm0 = dense_cloud_from_depth(
+                            d0_np[i], np.asarray(batch["K_color0"][i]),
+                            4096, seed=i)
+                        c1, mm1 = dense_cloud_from_depth(
+                            d1_np[i], np.asarray(batch["K_color1"][i]),
+                            4096, seed=i + 1)
+                        clouds0.append(c0); masks0.append(mm0)
+                        clouds1.append(c1); masks1.append(mm1)
+                dev.update(
+                    icp_cloud0=np.stack(clouds0), icp_mask0=np.stack(masks0),
+                    icp_cloud1=np.stack(clouds1), icp_mask1=np.stack(masks1))
+        elif self.depth_net is not None and self.solver != "EssentialMatrix":
+            host_extra["image0"] = batch["image0"]
+            host_extra["image1"] = batch["image1"]
 
-        def depth(key_):
-            if self.depth_net is not None:
-                # in-graph depth from the batch images (one dispatch per view)
-                return self.depth_net(batch["image0" if key_ == "depth0"
-                                            else "image1"])
-            d = batch[key_]
-            if d.ndim != 3 or d.shape[-1] == 0:
-                raise ValueError(
-                    f"solver {self.solver} requires depth maps; set "
-                    "DATASET.ESTIMATED_DEPTH or DEPTH_NET.ENABLED"
-                )
-            return jnp.asarray(d)
+        dev.update(pts0=pts0, pts1=pts1, mask=mask,
+                   K0=np.asarray(batch["K_color0"]),
+                   K1=np.asarray(batch["K_color1"]))
+        with times.stage("h2d"):
+            dev = {k: jnp.asarray(v) for k, v in dev.items()}
+            for a in dev.values():
+                a.block_until_ready()
+        return (dev, host_extra, key, B)
 
-        if self.solver.startswith("EssentialMatrix"):
-            solve = (essential_pose_adaptive if bool(cfg.TPU.ADAPTIVE_RANSAC)
-                     else essential_pose)
-            out = solve(
-                key, pts0, pts1, maskj, K0, K1,
-                float(cfg.EMAT_RANSAC.PIX_THRESHOLD), n_iters=self.n_iters,
-            )
-            R, t, inl = out["R"], out["t"], out["inliers"]
-            if self.solver != "EssentialMatrix":
-                # scale aggregation: dense 1-D RANSAC (reference
-                # EssentialMatrixMetricSolver) or cloud-mean projection
-                # (reference ...SolverMEAN, pose_solver.py:64-112)
+    def dispatch_device(self, transferred, times=None):
+        """Device stage: one fused solver dispatch (plus the adaptive
+        ladder's escalation tier when triggered). Returns
+        finalize() -> (R, t, inliers) numpy — the only D2H fetch."""
+        from mapfree_tpu.utils.timing import NULL_TIMES
+
+        times = times or NULL_TIMES
+        cfg = self.cfg
+        d = transferred[0]
+        host_extra, key, B = transferred[1:]
+        pts0, pts1, maskj = d["pts0"], d["pts1"], d["mask"]
+        K0, K1 = d["K0"], d["K1"]
+
+        with times.stage("solve"):
+            if self.solver.startswith("EssentialMatrix"):
+                metric = self.solver != "EssentialMatrix"
                 variant = ("mean" if self.solver == "EssentialMatrixMetricMean"
                            else "ransac")
-                t, inl, ok = metric_scale_from_depth(
-                    R, t, pts0, pts1, out["inlier_mask"], depth("depth0"),
-                    depth("depth1"), K0, K1,
-                    float(cfg.EMAT_RANSAC.SCALE_THRESHOLD), variant=variant,
+                scale_thr = float(cfg.EMAT_RANSAC.SCALE_THRESHOLD)
+                pix_thr = float(cfg.EMAT_RANSAC.PIX_THRESHOLD)
+                if metric and "d0" in d:
+                    # fused solver + scale, point depths shipped
+                    if bool(cfg.TPU.ADAPTIVE_RANSAC):
+                        out = essential_pose_adaptive(
+                            key, pts0, pts1, maskj, K0, K1, pix_thr,
+                            n_iters=self.n_iters,
+                            point_depths=(d["d0"], d["d1"], scale_thr,
+                                          variant))
+                    else:
+                        out = essential_pose_metric(
+                            key, pts0, pts1, maskj, K0, K1, pix_thr,
+                            d["d0"], d["d1"], scale_thr, variant=variant,
+                            n_iters=self.n_iters)
+                    R, t, inl = out["R"], out["t"], out["inliers"]
+                else:
+                    solve = (essential_pose_adaptive
+                             if bool(cfg.TPU.ADAPTIVE_RANSAC)
+                             else essential_pose)
+                    out = solve(key, pts0, pts1, maskj, K0, K1, pix_thr,
+                                n_iters=self.n_iters)
+                    R, t, inl = out["R"], out["t"], out["inliers"]
+                    if metric:
+                        # in-graph depth (DEPTH_NET): gather on device
+                        batch_like = {k: v for k, v in host_extra.items()}
+                        t, inl, ok = metric_scale_from_depth(
+                            R, t, pts0, pts1, out["inlier_mask"],
+                            self._depth_map(batch_like, "depth0"),
+                            self._depth_map(batch_like, "depth1"),
+                            K0, K1, scale_thr, variant=variant)
+                        R = jnp.where(ok[:, None, None], R, jnp.nan)
+            elif self.solver == "PNP":
+                out = pnp_pose(
+                    key, pts0, pts1, maskj,
+                    d["d0"] if "d0" in d else self._depth_map(
+                        host_extra, "depth0"),
+                    K0, K1,
+                    float(cfg.PNP.REPROJECTION_INLIER_THRESHOLD),
+                    n_iters=self.n_iters, point_depths="d0" in d,
                 )
-                R = jnp.where(ok[:, None, None], R, jnp.nan)
-        elif self.solver == "PNP":
-            out = pnp_pose(
-                key, pts0, pts1, maskj, depth("depth0"), K0, K1,
-                float(cfg.PNP.REPROJECTION_INLIER_THRESHOLD),
-                n_iters=self.n_iters,
-            )
-            R, t, inl = out["R"], out["t"], out["inliers"]
-        else:  # Procrustes
-            refine = bool(cfg.PROCRUSTES.REFINE)
-            d0 = depth("depth0")
-            d1 = depth("depth1")
-            kwargs = {}
-            if refine:
-                d0_np, d1_np = np.asarray(d0), np.asarray(d1)
-                clouds0, masks0, clouds1, masks1 = [], [], [], []
-                for i in range(B):
-                    c0, mm0 = dense_cloud_from_depth(
-                        d0_np[i], np.asarray(batch["K_color0"][i]), 4096, seed=i)
-                    c1, mm1 = dense_cloud_from_depth(
-                        d1_np[i], np.asarray(batch["K_color1"][i]), 4096,
-                        seed=i + 1)
-                    clouds0.append(c0); masks0.append(mm0)
-                    clouds1.append(c1); masks1.append(mm1)
-                kwargs = dict(
-                    icp_cloud0=jnp.asarray(np.stack(clouds0)),
-                    icp_mask0=jnp.asarray(np.stack(masks0)),
-                    icp_cloud1=jnp.asarray(np.stack(clouds1)),
-                    icp_mask1=jnp.asarray(np.stack(masks1)),
+                R, t, inl = out["R"], out["t"], out["inliers"]
+            else:  # Procrustes
+                refine = bool(cfg.PROCRUSTES.REFINE)
+                kwargs = {k: d[k] for k in ("icp_cloud0", "icp_mask0",
+                                            "icp_cloud1", "icp_mask1")
+                          if k in d}
+                out = procrustes_pose(
+                    key, pts0, pts1, maskj, d["depth0"], d["depth1"],
+                    K0, K1, float(cfg.PROCRUSTES.MAX_CORR_DIST),
+                    n_iters=self.n_iters, refine=refine, **kwargs,
                 )
-            out = procrustes_pose(
-                key, pts0, pts1, maskj, d0, d1,
-                K0, K1, float(cfg.PROCRUSTES.MAX_CORR_DIST),
-                n_iters=self.n_iters, refine=refine, **kwargs,
-            )
-            R, t, inl = out["R"], out["t"], out["inliers"]
+                R, t, inl = out["R"], out["t"], out["inliers"]
 
-        R = np.asarray(R, np.float32)
-        t = np.asarray(t, np.float32).reshape(B, 1, 3)
-        inliers = np.asarray(inl)
-        return R, t, inliers
+        def finalize():
+            with times.stage("d2h_wait"):
+                R_h = np.asarray(R, np.float32)
+                t_h = np.asarray(t, np.float32).reshape(B, 1, 3)
+                inl_h = np.asarray(inl)
+            return R_h, t_h, inl_h
+
+        return finalize
+
+    def __call__(self, batch):
+        """batch: collated dict with numpy arrays. Returns (R [B,3,3],
+        t [B,1,3], inliers [B]) numpy; NaN pose where estimation failed."""
+        return self.dispatch_device(self.transfer_batch(batch))()

@@ -3,8 +3,11 @@ from mapfree_tpu.ops.essential import (
     cheirality_pose,
     decompose_E,
     essential_pose,
+    essential_pose_adaptive,
+    essential_pose_metric,
     estimate_essential,
     metric_scale_from_depth,
+    metric_scale_from_point_depths,
     normalize_keypoints,
     sampson_sq,
 )

@@ -776,81 +776,120 @@ def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
     return {"R": R, "t": t, "inliers": n, "inlier_mask": inl, "valid": valid}
 
 
+@partial(jax.jit, static_argnames=("n_iters", "n5", "variant"))
+def essential_pose_metric(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
+                          d0, d1, scale_threshold, variant: str = "ransac",
+                          n_iters: int = 512, n5: int | None = None):
+    """Essential-matrix RANSAC + metric-scale recovery fused into ONE jitted
+    dispatch (a separate scale pass pays a second device round trip per
+    batch; the reference runs both inside one host call too,
+    pose_solver.py:114-172).
+
+    ``d0``/``d1``: [B, N] depths pre-gathered at floor(kpts) on the host.
+    Same contract as :func:`essential_pose`, except ``t`` is METRIC, ``R``
+    is NaN where scale recovery found no valid-depth inlier, and
+    ``inliers`` is the scale consensus count (the reference's confidence
+    channel, pose_solver.py:159-172).
+    """
+    out = essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
+                         n_iters=n_iters, n5=n5)
+    t_m, inl, ok = metric_scale_from_point_depths(
+        out["R"], out["t"], kpts0, kpts1, out["inlier_mask"], d0, d1, K0, K1,
+        scale_threshold, variant=variant)
+    R = jnp.where(ok[:, None, None], out["R"], jnp.nan)
+    return {"R": R, "t": t_m, "inliers": inl,
+            "inlier_mask": out["inlier_mask"], "valid": out["valid"]}
+
+
 def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
-                            n_iters: int = 512, cheap_factor: int = 4,
+                            n_iters: int = 512,
                             max_fail_prob: float = 0.01,
-                            full_n5: int | None = None):
-    """Three-tier batched essential-matrix estimation (host-level driver).
+                            full_n5: int | None = None,
+                            point_depths=None):
+    """Two-tier batched essential-matrix estimation (host-level driver).
 
     OpenCV's USAC terminates adaptively once enough iterations ran for the
     observed inlier ratio (reference pose_solver.py:46-48, prob=0.9999); a
     fixed-shape TPU dispatch cannot early-exit, so this mirrors the effect
-    with a compile-count ladder of (n_iters, n5) budgets: a cheap sweep for
-    the whole batch, the standard budget for moderate pairs, and a
-    5-point-heavy tier (``full_n5``, default 4 x n_iters) for the hard tail
-    — at low inlier ratios the minimal 5-point samples are what find the
-    basin (w^5 >> w^8), so the escalation buys samples where they matter.
-    After each tier every pair's inlier ratio w is read back and the pair
-    escalates only if that tier's probability of having missed every
-    all-inlier sample — (1-w^5)^n5 (1-w^8)^n8 — exceeds ``max_fail_prob``.
-    Escalating pairs are GATHERED into a power-of-two sub-batch, so the
-    compile count stays log2(B) per tier and easy batches never pay for
-    hard ones.
+    with a (n_iters, n5) budget ladder:
 
-    Same contract as :func:`essential_pose`.
+    - tier 1 is the standard fixed budget (n_iters 8-point, n_iters/4
+      5-point samples). Its probability of missing every all-inlier
+      minimal sample stays under ``max_fail_prob`` down to ~50% inlier
+      ratio, so easy AND moderate batches finish in ONE device dispatch
+      (round 3's extra cheap tier was a guaranteed-wasted dispatch at
+      <=50% inliers — its escalation criterion could never pass there);
+    - tier 2 is 5-point-heavy (``full_n5``, default 2 x n_iters -> 10x the
+      candidate count of tier 1) for the hard tail: at low inlier ratios
+      the minimal 5-point samples are what find the basin (w^5 >> w^8).
+      Escalating pairs are GATHERED into a power-of-two sub-batch, so the
+      compile count stays log2(B) and easy batches never pay for hard ones.
+
+    A pair escalates only if tier 1's probability of having missed every
+    all-inlier sample at its observed inlier ratio w —
+    (1-w^5)^n5 (1-w^8)^n8 — exceeds ``max_fail_prob`` (USAC's adaptive
+    termination criterion, evaluated post hoc). Tier results merge by
+    epipolar-inlier count (best-of), so the two tiers' sample budgets
+    compound instead of the rerun discarding tier 1's work.
+
+    Same contract as :func:`essential_pose`. With ``point_depths``
+    (a tuple ``(d0 [B,N], d1 [B,N], scale_threshold, variant)``), each tier
+    runs the FUSED solver+metric-scale dispatch
+    (:func:`essential_pose_metric`) so the matching track never pays a
+    separate scale round trip.
     """
     if full_n5 is None:
-        full_n5 = 4 * n_iters
-    cheap = max(n_iters // cheap_factor, 32)
-    # (n_iters, n5) ladder: cheap sweep for the easy bulk, the standard
-    # budget for moderate pairs, a 5-point-heavy tier for the hard tail
-    tiers = [(cheap, max(cheap // 4, 32)),
-             (n_iters, max(n_iters // 4, 32)),
-             (n_iters, full_n5)]
+        full_n5 = 2 * n_iters
+    # tier 1 runs n_iters/2 five-point samples (vs the fixed default's
+    # n_iters/4): at 50% inliers that is what keeps the one-dispatch tier's
+    # t-direction accuracy at OpenCV's level (measured: n5=128 gave tdir
+    # med 0.25 deg vs OpenCV 0.18; the old escalate-everything-at-50% path
+    # gave 0.24 — this buys the same accuracy without the second dispatch)
+    n5_1 = max(n_iters // 2, 32)
+
+    def solve(k, g, n5):
+        sub = (lambda x: x) if g is None else (lambda x: x[g])
+        args = tuple(sub(x) for x in (kpts0, kpts1, mask, K0, K1))
+        if point_depths is None:
+            return essential_pose(k, *args, pix_threshold,
+                                  n_iters=n_iters, n5=n5)
+        d0, d1, scale_thr, variant = point_depths
+        return essential_pose_metric(
+            k, *args, pix_threshold, sub(d0), sub(d1), scale_thr,
+            variant=variant, n_iters=n_iters, n5=n5)
 
     B = kpts0.shape[0]
-    keys = jax.random.split(key, len(tiers))
-    out = essential_pose(keys[0], kpts0, kpts1, mask, K0, K1, pix_threshold,
-                         n_iters=tiers[0][0], n5=tiers[0][1])
+    k1_, k2_ = jax.random.split(key)
+    out = solve(k1_, None, n5_1)
 
     n_valid = np.maximum(np.asarray(jnp.sum(mask, axis=1)), 1)
-    log_thr = np.log(max_fail_prob)
-    prev_tier = tiers[0]
-    for t, (it_t, n5_t) in enumerate(tiers[1:], start=1):
-        # escalate a pair when the PREVIOUS tier's probability of having
-        # missed every all-inlier sample, at the observed inlier ratio w,
-        # exceeds max_fail_prob: (1-w^5)^n5 (1-w^8)^n8 (USAC's adaptive
-        # termination criterion, evaluated post hoc per tier)
-        n_inl = np.asarray(jnp.sum(out["inlier_mask"] & mask, axis=1))
-        w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
-        n8_p, n5_p = prev_tier
-        log_fail = n5_p * np.log1p(-(w**5)) + n8_p * np.log1p(-(w**8))
-        need = (log_fail > log_thr) & np.asarray(out["valid"])
-        if not need.any():
-            return out
+    n_inl = np.asarray(jnp.sum(out["inlier_mask"] & mask, axis=1))
+    w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
+    log_fail = n5_1 * np.log1p(-(w**5)) + n_iters * np.log1p(-(w**8))
+    need = (log_fail > np.log(max_fail_prob)) & np.asarray(out["valid"])
+    if not need.any():
+        return out
 
-        # gather the hard pairs into a power-of-two sub-batch so the
-        # compile count stays log2(B) per tier
-        idx = np.nonzero(need)[0]
-        bucket = min(1 << (len(idx) - 1).bit_length(), B)
-        gather = np.concatenate(
-            [idx, np.zeros(bucket - len(idx), idx.dtype)])  # pad with pair 0
-        g = jnp.asarray(gather)
-        out_t = essential_pose(keys[t], kpts0[g], kpts1[g], mask[g], K0[g],
-                               K1[g], pix_threshold, n_iters=it_t, n5=n5_t)
+    # gather the hard pairs into a power-of-two sub-batch
+    idx = np.nonzero(need)[0]
+    bucket = min(1 << (len(idx) - 1).bit_length(), B)
+    gather = np.concatenate(
+        [idx, np.zeros(bucket - len(idx), idx.dtype)])  # pad with pair 0
+    g = jnp.asarray(gather)
+    out_t = solve(k2_, g, full_n5)
 
-        sel = jnp.asarray(need)
-        scatter = np.zeros(B, np.int32)
-        scatter[idx] = np.arange(len(idx))  # rows of out_t per hard pair
-        s = jnp.asarray(scatter)
+    # scatter back, keeping whichever tier scored more epipolar inliers
+    # (the budgets compound: a tier-1 win is evidence, not an accident)
+    scatter = np.zeros(B, np.int32)
+    scatter[idx] = np.arange(len(idx))  # rows of out_t per hard pair
+    s = jnp.asarray(scatter)
+    n_inl_t = jnp.sum(out_t["inlier_mask"][s] & mask, axis=1)
+    sel = jnp.asarray(need) & (n_inl_t >= jnp.asarray(n_inl))
 
-        def pick(a, b):
-            return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)),
-                             b[s], a)
+    def pick(a, b):
+        return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)), b[s], a)
 
-        out = {k: pick(out[k], out_t[k]) for k in out}
-        prev_tier = (it_t, n5_t)
-    return out
+    return {k: pick(out[k], out_t[k]) for k in out}
 
 
 def gather_depth(depth, kpts):
@@ -869,7 +908,22 @@ def gather_depth(depth, kpts):
 @partial(jax.jit, static_argnames=("variant",))
 def metric_scale_from_depth(R, t_unit, kpts0, kpts1, inlier_m, depth0, depth1,
                             K0, K1, scale_threshold, variant: str = "ransac"):
-    """Recover the metric norm of the translation from depth maps.
+    """Recover the metric norm of the translation from depth MAPS [B, H, W]
+    (gathers at the keypoints in-graph, then defers to
+    :func:`metric_scale_from_point_depths`)."""
+    kpts0_i = jnp.floor(kpts0)  # reference casts inlier kpts to int
+    kpts1_i = jnp.floor(kpts1)
+    d0 = gather_depth(depth0, kpts0_i)  # [B, N]
+    d1 = gather_depth(depth1, kpts1_i)
+    return metric_scale_from_point_depths(
+        R, t_unit, kpts0, kpts1, inlier_m, d0, d1, K0, K1, scale_threshold,
+        variant=variant)
+
+
+def metric_scale_from_point_depths(R, t_unit, kpts0, kpts1, inlier_m, d0, d1,
+                                   K0, K1, scale_threshold,
+                                   variant: str = "ransac"):
+    """Recover the metric norm of the translation from per-keypoint depths.
 
     Equivalent of EssentialMatrixMetricSolver(MEAN) (reference
     pose_solver.py:64-172): back-project E-inliers at both cameras, rotate
@@ -877,14 +931,17 @@ def metric_scale_from_depth(R, t_unit, kpts0, kpts1, inlier_m, depth0, depth1,
     translation direction; aggregate by 1-D RANSAC (all N hypotheses scored
     densely) or by the mean of cloud means.
 
+    ``d0``/``d1`` are [B, N] depths sampled at floor(kpts) — the host
+    pipeline gathers them from the depth maps BEFORE transfer, so the
+    tunnel ships [B, N] instead of two full [B, H, W] maps (~50x fewer
+    bytes at 2048 correspondences and 540x720 maps).
+
     Returns (t_metric [B, 3], inliers [B], valid [B]).
     """
     from mapfree_tpu.geom.projection import backproject_3d
 
     kpts0_i = jnp.floor(kpts0)  # reference casts inlier kpts to int
     kpts1_i = jnp.floor(kpts1)
-    d0 = gather_depth(depth0, kpts0_i)  # [B, N]
-    d1 = gather_depth(depth1, kpts1_i)
     valid_d = (d0 > 0) & (d1 > 0) & inlier_m  # [B, N]
 
     xyz0 = backproject_3d(kpts0_i, d0, K0)  # [B, N, 3]

@@ -304,10 +304,11 @@ def _gauss_newton(R0, t0, X, x_norm, w, n_iters=_GN_ITERS, damping=1e-6):
     return rodrigues(params[:3]), params[3:]
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "point_depths"))
 @_f32_matmuls
 def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
-             reproj_threshold, n_iters: int = 512):
+             reproj_threshold, n_iters: int = 512,
+             point_depths: bool = False):
     """Batched metric pose via PnP RANSAC + GN refine.
 
     Equivalent of PnPSolver.estimate_pose (reference pose_solver.py:184-235),
@@ -317,7 +318,10 @@ def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
 
     Args:
         pts0, pts1: [B, N, 2] pixel coordinates; mask: [B, N].
-        depth0: [B, H, W] map depth; K0, K1: [B, 3, 3].
+        depth0: [B, H, W] map depth — or, with ``point_depths=True``,
+            [B, N] depths pre-gathered at floor(pts0) on the host (ships
+            ~50x fewer bytes over the tunnel).
+        K0, K1: [B, 3, 3].
         reproj_threshold: inlier threshold in pixels.
     Returns dict with R [B,3,3], t [B,3], inliers [B], valid [B].
     """
@@ -326,7 +330,7 @@ def pnp_pose(key, pts0, pts1, mask, depth0, K0, K1,
 
     B, N, _ = pts0.shape
     pts0_i = jnp.floor(pts0)
-    d0 = gather_depth(depth0, pts0_i)
+    d0 = depth0 if point_depths else gather_depth(depth0, pts0_i)
     valid = mask & (d0 > 0)
 
     X = backproject_3d(pts0_i, d0, K0)  # [B, N, 3]

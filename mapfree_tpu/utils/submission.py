@@ -36,7 +36,7 @@ class Pose:
         return f"{self.image_name} {q_str} {t_str} {self.inliers}"
 
 
-def predict(loader, model, times=None):
+def predict(loader, model, times=None, transfer_workers: int = 2):
     """Run the model over a loader; returns dict scene -> [Pose].
 
     When the model exposes the ``transfer_batch``/``dispatch_device`` split
@@ -88,14 +88,15 @@ def predict(loader, model, times=None):
         return results_dict
 
     depth = 3          # dispatched batches awaiting their D2H fetch
-    max_transfers = 3  # batches being shipped host->device (2 worker threads
-    #                    overlap tunnel round-trips; a 3rd queued batch keeps
-    #                    a worker busy the moment one finishes)
+    max_transfers = transfer_workers + 1  # batches being shipped host->device
+    #                    (worker threads overlap tunnel round-trips; one
+    #                    queued batch keeps a worker busy the moment one
+    #                    finishes)
     pending = []
     inflight = []
     it = iter(loader)
     exhausted = False
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=transfer_workers) as ex:
         while not exhausted or inflight or pending:
             while not exhausted and len(inflight) < max_transfers:
                 with times.stage("load_wait"):

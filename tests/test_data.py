@@ -148,6 +148,27 @@ class TestDatasetAndLoader:
             np.testing.assert_allclose(sample["T_0to1"], ref["T_0to1"])
             assert sample["pair_names"] == ref["pair_names"]
 
+    def test_getitems_survives_cache_eviction(self, tmp_path):
+        """Regression: when one batch holds >16 distinct repeated paths, the
+        cross-batch decode cache used to evict entries BEFORE the final
+        sample-assembly reads ran, raising KeyError (hit by the shuffled
+        train loader, where repeated frames spread across many scenes). The
+        fix snapshots cache hits at scan time, so assembly never re-reads
+        the shared, evicting cache."""
+        make_scene(tmp_path / "val" / "s00000", n_queries=90, seed=0)
+        c = self._make_cfg(tmp_path)
+        ds = MapFreeDataset(c, "val")
+        assert len(ds) == 18
+        ds.getitems([0, 0])  # caches the ref + query-0 (both repeated)
+        # next batch: sample 0's paths are cache HITS at scan time, and the
+        # 17 new repeated queries push the cache past its 16-entry cap —
+        # evicting the hits before the old code's assembly re-read them
+        idx = [0] + [i for i in range(1, 18) for _ in range(2)]
+        batch = ds.getitems(idx)  # KeyError before the fix
+        assert len(batch) == len(idx)
+        for sample, i in zip(batch, idx):
+            assert sample["pair_names"] == ds[i]["pair_names"]
+
     @pytest.mark.parametrize("yuv", [False, True])
     def test_getbatch_dedups_refs_and_matches_collate(self, tmp_path, yuv):
         """The batch-level fast path must agree with collate(getitems) on

@@ -139,7 +139,7 @@ def run_tpu(kpts0, kpts1, K, pix_thr, iters=3):
 
 
 def run_tpu_adaptive(kpts0, kpts1, K, pix_thr, n_iters=512, reps=5):
-    """Three-tier adaptive budget (ops/essential.py essential_pose_adaptive).
+    """Two-tier adaptive budget (ops/essential.py essential_pose_adaptive).
 
     Timed as an honest host loop (perturbed inputs each rep, full D2H fetch):
     the adaptive path has a host decision between tiers, so scan-slope does
@@ -257,8 +257,8 @@ def main():
             "(reference pose_solver.py:46-61), single CPU core (this host has one).",
             "TPU fixed = `ops/essential.py essential_pose` (one jitted dispatch per",
             "batch, scan-slope timing, dispatch cost excluded); TPU adaptive =",
-            "`essential_pose_adaptive` three-tier budget ladder with a 5-point-heavy",
-            "top tier (host-loop timing, dispatch cost INCLUDED — the honest",
+            "`essential_pose_adaptive` two-tier budget ladder with a 5-point-heavy",
+            "escalation tier (host-loop timing, dispatch cost INCLUDED — the honest",
             "like-for-like vs OpenCV's loop).",
             "Generated by `python tools/solver_benchmark.py --write-doc`.",
             "",
