@@ -22,11 +22,23 @@ import jax.numpy as jnp
 
 from mapfree_tpu.ops.essential import (essential_pose,
                                        essential_pose_adaptive,
+                                       essential_pose_adaptive_async,
                                        essential_pose_metric,
                                        metric_scale_from_depth)
 from mapfree_tpu.ops.matching import mutual_2nn_ratio_match
 from mapfree_tpu.ops.pnp import pnp_pose
 from mapfree_tpu.ops.procrustes_ransac import dense_cloud_from_depth, procrustes_pose
+
+
+@jax.jit
+def _pack_pose(R, t, inl):
+    """Pack (R [B,3,3], t [B,3], inliers [B]) into one [B, 13] f32 array so
+    the sweep pays a SINGLE D2H round trip per batch (each separate fetch
+    costs a full tunnel round trip — docs/NOTES.md gotchas)."""
+    B = R.shape[0]
+    return jnp.concatenate(
+        [R.reshape(B, 9), t.reshape(B, 3),
+         inl.reshape(B, 1).astype(jnp.float32)], axis=1)
 
 
 def pad_correspondences(corr_list, max_n: int):
@@ -332,6 +344,11 @@ class FeatureMatchingModel:
         pts0, pts1, maskj = d["pts0"], d["pts1"], d["mask"]
         K0, K1 = d["K0"], d["K1"]
 
+        # the essential solvers pack [R|t|inliers|adapt] in-graph
+        # (ops/essential._pack_outputs) and the adaptive driver splits into
+        # dispatch/finish so escalation never blocks this stage — the batch
+        # costs at most ONE D2H round trip, paid lazily in finalize()
+        packed = host_packed = adaptive_finish = None
         with times.stage("solve"):
             if self.solver.startswith("EssentialMatrix"):
                 metric = self.solver != "EssentialMatrix"
@@ -339,10 +356,11 @@ class FeatureMatchingModel:
                            else "ransac")
                 scale_thr = float(cfg.EMAT_RANSAC.SCALE_THRESHOLD)
                 pix_thr = float(cfg.EMAT_RANSAC.PIX_THRESHOLD)
+                adaptive = bool(cfg.TPU.ADAPTIVE_RANSAC)
                 if metric and "d0" in d:
                     # fused solver + scale, point depths shipped
-                    if bool(cfg.TPU.ADAPTIVE_RANSAC):
-                        out = essential_pose_adaptive(
+                    if adaptive:
+                        adaptive_finish = essential_pose_adaptive_async(
                             key, pts0, pts1, maskj, K0, K1, pix_thr,
                             n_iters=self.n_iters,
                             point_depths=(d["d0"], d["d1"], scale_thr,
@@ -352,16 +370,23 @@ class FeatureMatchingModel:
                             key, pts0, pts1, maskj, K0, K1, pix_thr,
                             d["d0"], d["d1"], scale_thr, variant=variant,
                             n_iters=self.n_iters)
-                    R, t, inl = out["R"], out["t"], out["inliers"]
+                        packed = out["packed"]
+                elif adaptive and not metric:
+                    adaptive_finish = essential_pose_adaptive_async(
+                        key, pts0, pts1, maskj, K0, K1, pix_thr,
+                        n_iters=self.n_iters)
                 else:
-                    solve = (essential_pose_adaptive
-                             if bool(cfg.TPU.ADAPTIVE_RANSAC)
+                    solve = (essential_pose_adaptive if adaptive
                              else essential_pose)
                     out = solve(key, pts0, pts1, maskj, K0, K1, pix_thr,
                                 n_iters=self.n_iters)
-                    R, t, inl = out["R"], out["t"], out["inliers"]
+                    packed = out["packed"]
+                    host_packed = out.get("_host_packed")
                     if metric:
-                        # in-graph depth (DEPTH_NET): gather on device
+                        # in-graph depth (DEPTH_NET): gather on device;
+                        # R/t/inliers change, so the solver's pack is stale
+                        packed = host_packed = None
+                        R, t, inl = out["R"], out["t"], out["inliers"]
                         batch_like = {k: v for k, v in host_extra.items()}
                         t, inl, ok = metric_scale_from_depth(
                             R, t, pts0, pts1, out["inlier_mask"],
@@ -391,11 +416,23 @@ class FeatureMatchingModel:
                 )
                 R, t, inl = out["R"], out["t"], out["inliers"]
 
+        if packed is None and adaptive_finish is None:
+            packed = _pack_pose(R, t, inl)  # async; ONE [B,13+] D2H below
+
         def finalize():
-            with times.stage("d2h_wait"):
-                R_h = np.asarray(R, np.float32)
-                t_h = np.asarray(t, np.float32).reshape(B, 1, 3)
-                inl_h = np.asarray(inl)
+            if adaptive_finish is not None:
+                # blocks on tier 1, escalates the hard tail if needed; the
+                # fetch that drives the tier decision IS the pose fetch
+                with times.stage("d2h_wait"):
+                    p = adaptive_finish()["_host_packed"]
+            elif host_packed is not None:
+                p = host_packed  # the adaptive driver already fetched it
+            else:
+                with times.stage("d2h_wait"):
+                    p = np.asarray(packed, np.float32)
+            R_h = p[:, :9].reshape(B, 3, 3)
+            t_h = p[:, 9:12].reshape(B, 1, 3)
+            inl_h = p[:, 12]
             return R_h, t_h, inl_h
 
         return finalize

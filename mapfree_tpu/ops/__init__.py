@@ -4,6 +4,7 @@ from mapfree_tpu.ops.essential import (
     decompose_E,
     essential_pose,
     essential_pose_adaptive,
+    essential_pose_adaptive_async,
     essential_pose_metric,
     estimate_essential,
     metric_scale_from_depth,

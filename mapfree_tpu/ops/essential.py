@@ -773,7 +773,28 @@ def essential_pose(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
     R = jnp.where(valid[:, None, None], R, nan)
     t = jnp.where(valid[:, None], t, nan)
     n = jnp.where(valid, n, 0)
-    return {"R": R, "t": t, "inliers": n, "inlier_mask": inl, "valid": valid}
+    # packed per-pair stats for the adaptive ladder's escalation decision:
+    # [epipolar inliers, valid correspondences, valid flag] as ONE int32
+    # array so the host driver pays a single tiny D2H round trip (the tunnel
+    # charges ~5-30 ms per dispatch/fetch — docs/NOTES.md gotchas)
+    adapt = jnp.stack(
+        [jnp.sum(inl & mask, axis=1).astype(jnp.int32),
+         jnp.sum(mask, axis=1).astype(jnp.int32),
+         valid.astype(jnp.int32)], axis=1)
+    return {"R": R, "t": t, "inliers": n, "inlier_mask": inl, "valid": valid,
+            "adapt": adapt, "packed": _pack_outputs(R, t, n, adapt)}
+
+
+def _pack_outputs(R, t, inliers, adapt):
+    """[B, 16] f32 = [R row-major (9) | t (3) | inliers (1) | adapt (3)].
+
+    Everything a host consumer needs in ONE array, so the whole result costs
+    a single D2H round trip (counts are exact in f32 up to 2^24)."""
+    B = R.shape[0]
+    return jnp.concatenate(
+        [R.reshape(B, 9), t.reshape(B, 3),
+         inliers.reshape(B, 1).astype(jnp.float32),
+         adapt.astype(jnp.float32)], axis=1)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "n5", "variant"))
@@ -798,7 +819,9 @@ def essential_pose_metric(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
         scale_threshold, variant=variant)
     R = jnp.where(ok[:, None, None], out["R"], jnp.nan)
     return {"R": R, "t": t_m, "inliers": inl,
-            "inlier_mask": out["inlier_mask"], "valid": out["valid"]}
+            "inlier_mask": out["inlier_mask"], "valid": out["valid"],
+            "adapt": out["adapt"],
+            "packed": _pack_outputs(R, t_m, inl, out["adapt"])}
 
 
 def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
@@ -807,6 +830,28 @@ def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
                             full_n5: int | None = None,
                             point_depths=None):
     """Two-tier batched essential-matrix estimation (host-level driver).
+    Blocking form of :func:`essential_pose_adaptive_async` — see there for
+    the tier-ladder design and the output contract.
+    """
+    return essential_pose_adaptive_async(
+        key, kpts0, kpts1, mask, K0, K1, pix_threshold, n_iters=n_iters,
+        max_fail_prob=max_fail_prob, full_n5=full_n5,
+        point_depths=point_depths)()
+
+
+def essential_pose_adaptive_async(key, kpts0, kpts1, mask, K0, K1,
+                                  pix_threshold, n_iters: int = 512,
+                                  max_fail_prob: float = 0.01,
+                                  full_n5: int | None = None,
+                                  point_depths=None):
+    """Two-tier batched essential-matrix estimation (host-level driver).
+
+    Async split: this function DISPATCHES tier 1 and returns immediately
+    with a ``finish() -> dict`` continuation; ``finish`` blocks on tier 1's
+    packed result, decides escalation, and runs tier 2 for the hard tail.
+    A pipelined sweep (utils/submission.py) calls ``finish`` only when it
+    drains its in-flight queue, so tier-1 solves of batches i+1..i+3
+    overlap batch i's escalation check instead of serialising behind it.
 
     OpenCV's USAC terminates adaptively once enough iterations ran for the
     observed inlier ratio (reference pose_solver.py:46-48, prob=0.9999); a
@@ -837,6 +882,11 @@ def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
     runs the FUSED solver+metric-scale dispatch
     (:func:`essential_pose_metric`) so the matching track never pays a
     separate scale round trip.
+
+    The returned dict additionally carries ``_host_packed`` — the [B, 16]
+    numpy result of :func:`_pack_outputs` that the tier decision already
+    fetched — so a host consumer gets R/t/inliers WITHOUT a second D2H
+    round trip (models/matching.py uses it for pose extraction).
     """
     if full_n5 is None:
         full_n5 = 2 * n_iters
@@ -860,36 +910,49 @@ def essential_pose_adaptive(key, kpts0, kpts1, mask, K0, K1, pix_threshold,
 
     B = kpts0.shape[0]
     k1_, k2_ = jax.random.split(key)
-    out = solve(k1_, None, n5_1)
+    out = solve(k1_, None, n5_1)  # tier 1 dispatched; NOT awaited here
 
-    n_valid = np.maximum(np.asarray(jnp.sum(mask, axis=1)), 1)
-    n_inl = np.asarray(jnp.sum(out["inlier_mask"] & mask, axis=1))
-    w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
-    log_fail = n5_1 * np.log1p(-(w**5)) + n_iters * np.log1p(-(w**8))
-    need = (log_fail > np.log(max_fail_prob)) & np.asarray(out["valid"])
-    if not need.any():
-        return out
+    def finish():
+        # ONE D2H round trip total for the no-escalation case: the solver
+        # packs R/t/inliers AND the escalation stats [n_epipolar_inliers,
+        # n_valid, valid] into out["packed"] in-graph; the same fetch that
+        # drives the tier decision is attached as out["_host_packed"] so the
+        # caller's pose extraction costs no second fetch (each tunnel round
+        # trip is ~5-30 ms — docs/NOTES.md gotchas)
+        p1 = np.asarray(out["packed"])
+        n_inl = p1[:, 13]
+        n_valid = np.maximum(p1[:, 14], 1)
+        w = np.clip(n_inl / n_valid, 1e-3, 1 - 1e-3)
+        log_fail = n5_1 * np.log1p(-(w**5)) + n_iters * np.log1p(-(w**8))
+        need = (log_fail > np.log(max_fail_prob)) & (p1[:, 15] > 0)
+        if not need.any():
+            out["_host_packed"] = p1
+            return out
 
-    # gather the hard pairs into a power-of-two sub-batch
-    idx = np.nonzero(need)[0]
-    bucket = min(1 << (len(idx) - 1).bit_length(), B)
-    gather = np.concatenate(
-        [idx, np.zeros(bucket - len(idx), idx.dtype)])  # pad with pair 0
-    g = jnp.asarray(gather)
-    out_t = solve(k2_, g, full_n5)
+        # gather the hard pairs into a power-of-two sub-batch
+        idx = np.nonzero(need)[0]
+        bucket = min(1 << (len(idx) - 1).bit_length(), B)
+        gather = np.concatenate(
+            [idx, np.zeros(bucket - len(idx), idx.dtype)])  # pad with pair 0
+        g = jnp.asarray(gather)
+        out_t = solve(k2_, g, full_n5)
 
-    # scatter back, keeping whichever tier scored more epipolar inliers
-    # (the budgets compound: a tier-1 win is evidence, not an accident)
-    scatter = np.zeros(B, np.int32)
-    scatter[idx] = np.arange(len(idx))  # rows of out_t per hard pair
-    s = jnp.asarray(scatter)
-    n_inl_t = jnp.sum(out_t["inlier_mask"][s] & mask, axis=1)
-    sel = jnp.asarray(need) & (n_inl_t >= jnp.asarray(n_inl))
+        # scatter back, keeping whichever tier scored more epipolar inliers
+        # (the budgets compound: a tier-1 win is evidence, not an accident)
+        scatter = np.zeros(B, np.int32)
+        scatter[idx] = np.arange(len(idx))  # rows of out_t per hard pair
+        s = jnp.asarray(scatter)
+        n_inl_t = out_t["adapt"][s, 0]  # tier-2 counts, already packed
+        sel = jnp.asarray(need) & (n_inl_t >= jnp.asarray(n_inl))
 
-    def pick(a, b):
-        return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)), b[s], a)
+        def pick(a, b):
+            return jnp.where(sel.reshape((-1,) + (1,) * (a.ndim - 1)), b[s], a)
 
-    return {k: pick(out[k], out_t[k]) for k in out}
+        merged = {k: pick(out[k], out_t[k]) for k in out}
+        merged["_host_packed"] = np.asarray(merged["packed"])
+        return merged
+
+    return finish
 
 
 def gather_depth(depth, kpts):

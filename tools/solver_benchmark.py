@@ -164,8 +164,12 @@ def run_tpu_adaptive(kpts0, kpts1, K, pix_thr, n_iters=512, reps=5):
         out = essential_pose_adaptive(
             jax.random.PRNGKey(seed), k0 + eps, k1, mask, Kb, Kb, pix_thr,
             n_iters=n_iters)
-        return (np.asarray(out["R"]), np.asarray(out["t"]),
-                np.asarray(out["inliers"]))
+        # the adaptive driver's tier decision already fetched the packed
+        # [R|t|inliers|adapt] result — pose extraction costs no second D2H
+        # (exactly what the production sweep does, models/matching.py)
+        p = out["_host_packed"]
+        return (p[:, :9].reshape(-1, 3, 3), p[:, 9:12],
+                p[:, 12])
 
     R, t, _ = solve(0, 0.0)  # warm/compile tier 1 (+ tier 2 if triggered)
     solve(1, 1e-6)
