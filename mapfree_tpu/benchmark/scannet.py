@@ -37,11 +37,17 @@ def pose_error_numpy(R, t, Tgt):
 
 
 def evaluate(loader, model) -> dict:
+    """Pipelined sweep (utils/submission.iter_predictions): batch i+1's
+    transfer/compute overlap batch i's host-side metric accumulation —
+    the reference loops one blocking round trip per batch
+    (reference benchmark/scannet.py:15-57)."""
+    from mapfree_tpu.utils.submission import iter_predictions
+
     macc = MetricsAccumulator()
-    for batch in loader:
-        R, t, _ = model.predict_batch(batch)
-        metrics = pose_error_numpy(R, t, np.asarray(batch["T_0to1"]))
-        macc.accumulate(metrics)
+    for Tgt, fetch in iter_predictions(
+            loader, model, lambda b: np.asarray(b["T_0to1"])):
+        R, t, _ = fetch()
+        macc.accumulate(pose_error_numpy(R, t, Tgt))
     return macc.aggregate()
 
 

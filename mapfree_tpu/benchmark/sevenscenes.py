@@ -33,11 +33,19 @@ from mapfree_tpu.utils.logger import set_log
 
 def predict(loader, model):
     """Collect per-(reference, query) RelaPosePair results
-    (reference benchmark/sevenscenes.py:17-66, batched)."""
+    (reference benchmark/sevenscenes.py:17-66), batched AND pipelined:
+    batch i+1's transfer/compute overlap batch i's host-side pose-pair
+    assembly (utils/submission.iter_predictions)."""
+    from mapfree_tpu.utils.submission import iter_predictions
+
     results_dict = {}
 
-    for batch in loader:
-        R, t, inliers = model.predict_batch(batch)
+    _META_KEYS = ("pair_names", "scene_id", "abs_q_0", "abs_c_0",
+                  "abs_q_1", "abs_c_1", "T_0to1", "sim")
+
+    for batch, fetch in iter_predictions(
+            loader, model, lambda b: {k: b[k] for k in _META_KEYS}):
+        R, t, inliers = fetch()
         B = R.shape[0]
         for i in range(B):
             train, test = batch["pair_names"][i]

@@ -304,6 +304,49 @@ class MapFreeSceneMultiFrame(MapFreeScene):
         return data
 
 
+def _collated_metadata(resolved):
+    """Collated metadata (every field but the images) for a batch of
+    single-frame samples, assembled with ONE batched quaternion pipeline.
+
+    Field-for-field identical to ``collate([getitem_decoded(...)])`` minus
+    image0/image1 (the quaternion ops in geom/quaternion.py are shape-
+    polymorphic, so the batched math is the same arithmetic). The
+    per-sample path costs ~0.5 ms/sample of Python/numpy call overhead —
+    measured at ~30% of the e2e sweep's decode stage (VERDICT r4 #1)."""
+    names = [ds.get_pair_path(ds.pairs[i]) for ds, i in resolved]
+    B = len(resolved)
+    q1 = np.stack([ds.poses[n[0]][0] for (ds, _), n in zip(resolved, names)])
+    t1 = np.stack([ds.poses[n[0]][1] for (ds, _), n in zip(resolved, names)])
+    q2 = np.stack([ds.poses[n[1]][0] for (ds, _), n in zip(resolved, names)])
+    t2 = np.stack([ds.poses[n[1]][1] for (ds, _), n in zip(resolved, names)])
+    q12, t12 = relative_pose_wxyz(q1, t1, q2, t2)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, :3, :3] = quat2mat(q12)
+    T[:, :3, 3] = t12
+    c1 = rotate_vector(-t1, qinverse(q1))
+    c2 = rotate_vector(-t2, qinverse(q2))
+    empty = np.zeros((B, 0), np.float32)
+    return {
+        "depth0": empty,
+        "depth1": empty,
+        "T_0to1": T,
+        "abs_q_0": q1,
+        "abs_c_0": c1,
+        "abs_q_1": q2,
+        "abs_c_1": c2,
+        "K_color0": np.stack(
+            [ds.K[n[0]] for (ds, _), n in zip(resolved, names)]),
+        "K_color1": np.stack(
+            [ds.K[n[1]] for (ds, _), n in zip(resolved, names)]),
+        "dataset_name": ["Mapfree"] * B,
+        "scene_id": [ds.scene_root.stem for ds, _ in resolved],
+        "scene_root": [str(ds.scene_root) for ds, _ in resolved],
+        "pair_id": np.asarray([i * ds.sample_factor for ds, i in resolved]),
+        "pair_names": names,
+        "sim": np.zeros(B),
+    }
+
+
 class ConcatDataset:
     """Minimal concat-of-datasets with cumulative index mapping."""
 
@@ -480,16 +523,19 @@ class ConcatDataset:
         while len(self._decode_cache) > 16:
             self._decode_cache.pop(next(iter(self._decode_cache)))
 
-        from mapfree_tpu.data.loader import collate
+        if all(ds.estimated_depth is None for ds, _ in resolved):
+            batch = _collated_metadata(resolved)
+        else:  # depth reads are per-file: keep the per-sample path
+            from mapfree_tpu.data.loader import collate
 
-        samples = []
-        for j, ((ds, i), pl) in enumerate(zip(resolved, path_lists)):
-            s = ds.getitem_decoded(
-                i, [ref_arrays[ref_of[pl[0]]], decoded[j]])
-            s.pop("image0")
-            s.pop("image1")
-            samples.append(s)
-        batch = collate(samples)
+            samples = []
+            for j, ((ds, i), pl) in enumerate(zip(resolved, path_lists)):
+                s = ds.getitem_decoded(
+                    i, [ref_arrays[ref_of[pl[0]]], decoded[j]])
+                s.pop("image0")
+                s.pop("image1")
+                samples.append(s)
+            batch = collate(samples)
         batch["image0_unique"] = image0_unique
         batch["ref_idx"] = np.asarray([ref_of[p] for p in refs], np.int32)
         # ref identities let the device keep a ref cache across batches: a

@@ -19,6 +19,12 @@ from mapfree_tpu.models.matching import FeatureMatchingModel
 from mapfree_tpu.models.regression import build_regression_net
 
 
+def _pack_rt(R, t):
+    # one [B, 4, 3] output: a single D2H fetch per batch (each fetch
+    # pays a full round trip on remote-TPU links)
+    return jnp.concatenate([R, t.reshape(-1, 1, 3)], axis=1)
+
+
 class RegressionPredictor:
     """Jitted batched inference; with more than one device the batch is
     sharded over the data mesh (one SPMD dispatch per batch)."""
@@ -33,6 +39,8 @@ class RegressionPredictor:
 
         n_dev = len(jax.devices())
         self.mesh = make_mesh(cfg) if n_dev > 1 else None
+        if self.mesh is not None and self.mesh.devices.size == 1:
+            self.mesh = None  # a 1-device mesh shards nothing: packed path
         batch = int(cfg.TPU.INFER_BATCH)
         if self.mesh is not None:
             n = self.mesh.devices.size
@@ -64,28 +72,28 @@ class RegressionPredictor:
                                       train=False, **init_kwargs)
             )
             self.variables = ocp.StandardCheckpointer().restore(checkpoint, abstract)
+            # the jitted forwards close over the params: committed device
+            # arrays trace as runtime constants, but restored NUMPY arrays
+            # would constant-fold the whole network at compile time
+            # (minutes — docs/NOTES.md gotchas)
+            self.variables = jax.device_put(self.variables)
         else:
             self.variables = jax.jit(
                 partial(self.net.init, train=False, **init_kwargs)
             )(jax.random.PRNGKey(0), img0, img1)
-
-        def _pack(R, t):
-            # one [B, 4, 3] output: a single D2H fetch per batch (each fetch
-            # pays a full round trip on remote-TPU links)
-            return jnp.concatenate([R, t.reshape(-1, 1, 3)], axis=1)
 
         if self.needs_device_poses:
             def _forward(image0, image1, q_device, t_device):
                 R, t, _ = self.net.apply(
                     self.variables, image0, image1, train=False,
                     q_device=q_device, t_device=t_device)
-                return _pack(R, t)
+                return _pack_rt(R, t)
             n_in = 4
         else:
             def _forward(image0, image1):
                 R, t, _ = self.net.apply(self.variables, image0, image1,
                                          train=False)
-                return _pack(R, t)
+                return _pack_rt(R, t)
             n_in = 2
 
         if self.mesh is None:
@@ -105,60 +113,67 @@ class RegressionPredictor:
             min(self.batch_size, int(cfg.TPU.UNIQUE_REFS))
             if cfg.MODEL == "Regression" else 0
         )
-        self._dev_refs: dict = {}   # ref name -> device-resident frame
-        self._dev_zero: dict = {}   # (shape, dtype) -> device zeros pad row
-        if self.u_max:
+        if self.u_max and self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+
             def _forward_unique(image0u, ref_idx, image1):
                 R, t, _ = self.net.apply(self.variables, image0u, image1,
                                          train=False, ref_idx=ref_idx)
-                return _pack(R, t)
+                return _pack_rt(R, t)
 
-            if self.mesh is None:
-                self._predict_unique = jax.jit(_forward_unique)
-            else:
-                repl = NamedSharding(self.mesh, P())
-                self._predict_unique = jax.jit(
-                    _forward_unique,
-                    in_shardings=(repl, sharded, sharded),
-                    out_shardings=sharded,
-                )
+            self._predict_unique = jax.jit(
+                _forward_unique,
+                in_shardings=(repl, sharded, sharded),
+                out_shardings=sharded,
+            )
+        # single-device packed-buffer forwards, one jit per batch layout
+        # (YUV420 vs RGB, unique vs std — at most a handful per sweep)
+        self._packed_fns: dict = {}
 
-    def _ship_refs(self, u, names):
-        """Assemble the [u_max, ...] unique-ref device stack, shipping only
-        rows the device does not already hold. Each scene's reference frame
-        crosses the tunnel ONCE per sweep (names key it), and the pad rows
-        up to u_max are materialised on device instead of shipped as zeros —
-        on a bandwidth-bound link both savings are direct throughput."""
-        shape, dtype = u.shape[1:], u.dtype
-        if names is None or len(names) != u.shape[0]:
-            if u.shape[0] < self.u_max:
-                u = np.concatenate([
-                    u, np.zeros((self.u_max - u.shape[0],) + shape, dtype)])
-            return jnp.asarray(u)
-        rows = []
-        for j, nm in enumerate(names):
-            a = self._dev_refs.get(nm)
-            if a is None:
-                a = jnp.asarray(u[j])
-                self._dev_refs[nm] = a
-                while len(self._dev_refs) > 16:
-                    self._dev_refs.pop(next(iter(self._dev_refs)))
-            rows.append(a)
-        zkey = (shape, str(dtype))
-        zero = self._dev_zero.get(zkey)
-        if zero is None and len(rows) < self.u_max:
-            zero = self._dev_zero[zkey] = jnp.zeros(shape, dtype)
-        rows += [zero] * (self.u_max - len(rows))
-        return jnp.stack(rows)  # device-side concat, no host bytes
+    def _packed_fn(self, spec):
+        """Jitted forward over ONE packed uint8 buffer (utils/packing.py):
+        the whole batch crosses the tunnel as a single transfer and the
+        unpack slices fuse into the forward — one transfer + one dispatch
+        per batch instead of one round trip per array (VERDICT r4 #1: the
+        per-array path measured ~45 MB/s effective against a 1,343 MB/s
+        link because latency, not bytes, dominated)."""
+        fn = self._packed_fns.get(spec)
+        if fn is None:
+            from mapfree_tpu.utils.packing import unpack
+
+            def _forward_packed(buf):
+                parts = unpack(buf, spec)
+                kwargs = {}
+                if "q_device" in parts:
+                    kwargs = {"q_device": parts["q_device"],
+                              "t_device": parts["t_device"]}
+                if "ref_idx" in parts:
+                    R, t, _ = self.net.apply(
+                        self.variables, parts["image0u"], parts["image1"],
+                        train=False, ref_idx=parts["ref_idx"])
+                else:
+                    R, t, _ = self.net.apply(
+                        self.variables, parts["image0"], parts["image1"],
+                        train=False, **kwargs)
+                return _pack_rt(R, t)
+
+            fn = self._packed_fns[spec] = jax.jit(_forward_packed)
+        return fn
 
     def transfer_batch(self, batch, times=None):
-        """Host->device stage: pad the final partial batch and ship the
-        arrays. Returns (device_args, B). Runs safely on a worker thread, so
-        the sweep can overlap batch i+1's H2D (the dominant cost on a
-        remote-tunnel link) with batch i's compute dispatch."""
+        """Host->device stage: pad the final partial batch, pack every array
+        into one contiguous uint8 buffer, and ship it with a single
+        ``jnp.asarray`` (no per-array fences: the transfer is ordered before
+        the forward that consumes it, and blocking here was measured to wait
+        behind queued COMPUTE on the tunnel stream, serialising the
+        pipeline). Returns the spec dispatch_device compiles against. Runs
+        safely on a worker thread, so the sweep overlaps batch i+1's H2D
+        with batch i's compute dispatch."""
+        from mapfree_tpu.utils.packing import pack_arrays, spec_of
         from mapfree_tpu.utils.timing import NULL_TIMES
 
         times = times or NULL_TIMES
+        named = None
         if "image0_unique" in batch:
             u = np.asarray(batch["image0_unique"])
             ridx = np.asarray(batch["ref_idx"], np.int32)
@@ -171,39 +186,61 @@ class RegressionPredictor:
                         image1,
                         np.zeros((pad,) + image1.shape[1:], image1.dtype)])
                     ridx = np.concatenate([ridx, np.zeros(pad, np.int32)])
-                with times.stage("h2d"):
-                    dev_u = self._ship_refs(u, batch.get("ref_names"))
-                    dev = [dev_u, jnp.asarray(ridx), jnp.asarray(image1)]
-                    for a in dev:
-                        a.block_until_ready()
-                return ("unique", dev, B)
-            # too many unique refs for the compiled shape: materialise the
-            # per-pair ref stack and use the standard path
-            batch = dict(batch)
-            batch["image0"] = u[ridx]
-        image0 = np.asarray(batch["image0"])
-        image1 = np.asarray(batch["image1"])
-        if image0.dtype != np.uint8:  # uint8 ships as-is (4x fewer bytes)
-            image0 = image0.astype(np.float32, copy=False)
-            image1 = image1.astype(np.float32, copy=False)
-        args = [image0, image1]
-        if self.needs_device_poses:
-            q = np.asarray(batch["abs_q_1_w2c_device"], np.float32)
-            t = np.asarray(batch["abs_c_1_c2w_device"], np.float32)
-            args += [q, t]
-        B = image0.shape[0]
-        if B < self.batch_size:  # pad the final partial batch
-            pad = self.batch_size - B
-            for i, a in enumerate(args):
-                filler = np.zeros((pad,) + a.shape[1:], a.dtype)
-                if i == 2:  # device quaternions must stay unit-norm
-                    filler[..., 0] = 1.0
-                args[i] = np.concatenate([a, filler])
+                if u.shape[0] < self.u_max:  # pad refs to the compiled shape
+                    u = np.concatenate([
+                        u, np.zeros((self.u_max - u.shape[0],) + u.shape[1:],
+                                    u.dtype)])
+                named = [("ref_idx", ridx), ("image0u", u),
+                         ("image1", image1)]
+            else:
+                # too many unique refs for the compiled shape: materialise
+                # the per-pair ref stack and use the standard path
+                batch = dict(batch)
+                batch["image0"] = u[ridx]
+        if named is None:
+            image0 = np.asarray(batch["image0"])
+            image1 = np.asarray(batch["image1"])
+            if image0.dtype != np.uint8:  # uint8 ships as-is (4x fewer bytes)
+                image0 = image0.astype(np.float32, copy=False)
+                image1 = image1.astype(np.float32, copy=False)
+            named = [("image0", image0), ("image1", image1)]
+            if self.needs_device_poses:
+                named += [
+                    ("q_device",
+                     np.asarray(batch["abs_q_1_w2c_device"], np.float32)),
+                    ("t_device",
+                     np.asarray(batch["abs_c_1_c2w_device"], np.float32)),
+                ]
+            B = image0.shape[0]
+            if B < self.batch_size:  # pad the final partial batch
+                pad = self.batch_size - B
+                for i, (name, a) in enumerate(named):
+                    filler = np.zeros((pad,) + a.shape[1:], a.dtype)
+                    if name == "q_device":  # quaternions must stay unit-norm
+                        filler[..., 0] = 1.0
+                    named[i] = (name, np.concatenate([a, filler]))
+
+        if self.mesh is not None:
+            # SPMD path: per-array device_put so in_shardings apply
+            arrs = dict(named)
+            with times.stage("h2d"):
+                if "ref_idx" in arrs:  # _forward_unique(image0u, ridx, img1)
+                    dev = [jnp.asarray(arrs["image0u"]),
+                           jnp.asarray(arrs["ref_idx"]),
+                           jnp.asarray(arrs["image1"])]
+                    return ("unique", dev, B, None)
+                dev = [jnp.asarray(a) for _, a in named]
+            return ("std", dev, B, None)
+        spec = spec_of(named)
         with times.stage("h2d"):
-            dev = [jnp.asarray(a) for a in args]
-            for a in dev:
-                a.block_until_ready()
-        return ("std", dev, B)
+            buf = pack_arrays([a for _, a in named])
+            dev = jnp.asarray(buf)
+            # fence the ONE buffer: dispatching against an in-flight
+            # transfer drops this tunnel into a ~10x slower inline-copy
+            # path (measured 300 ms/batch vs 32 ms with the input resident
+            # — tools/dispatch_experiment2.py)
+            dev.block_until_ready()
+        return ("packed", dev, B, spec)
 
     def dispatch_device(self, transferred, times=None):
         """Compute stage: jitted forward on device-resident args; returns
@@ -211,10 +248,14 @@ class RegressionPredictor:
         from mapfree_tpu.utils.timing import NULL_TIMES
 
         times = times or NULL_TIMES
-        kind, dev, B = transferred
-        fn = self._predict_unique if kind == "unique" else self._predict
+        kind, dev, B, spec = transferred
         with times.stage("dispatch"):
-            out = fn(*dev)
+            if kind == "packed":
+                out = self._packed_fn(spec)(dev)
+            elif kind == "unique":
+                out = self._predict_unique(*dev)
+            else:
+                out = self._predict(*dev)
 
         def finalize():
             with times.stage("d2h_wait"):

@@ -32,16 +32,31 @@ from mapfree_tpu.train.state import (
 )
 
 _TRAIN_KEYS = ("image0", "image1", "T_0to1")
+_DEVICE_POSE_KEYS = ("abs_q_1_w2c_device", "abs_c_1_c2w_device")
 
 
-def _device_batch(batch, mesh, pad_to: int):
+def _train_keys(net) -> tuple:
+    """Batch keys the training step consumes. The multi-frame FUSION net
+    additionally needs the device-tracking poses (models/regression.py
+    RegressionMultiFrameFusionNet; reference train.py:29-31 trains its
+    MultiFrame variant from the same CLI)."""
+    if getattr(net, "needs_device_poses", False):
+        return _TRAIN_KEYS + _DEVICE_POSE_KEYS
+    return _TRAIN_KEYS
+
+
+def _device_batch(batch, mesh, pad_to: int, keys=_TRAIN_KEYS):
     """Keep numeric training keys, pad the leading axis to the compiled batch
     size, and shard over the mesh."""
     out = {}
-    for k in _TRAIN_KEYS:
+    for k in keys:
         x = np.asarray(batch[k])
+        if x.dtype == np.float64:  # pose metadata loads f64; train in f32
+            x = x.astype(np.float32)
         if x.shape[0] < pad_to:
             reps = np.zeros((pad_to - x.shape[0],) + x.shape[1:], x.dtype)
+            if k == "abs_q_1_w2c_device":  # quaternions stay unit-norm
+                reps[..., 0] = 1.0
             x = np.concatenate([x, reps])
         out[k] = x
     return shard_batch(out, mesh)
@@ -63,9 +78,14 @@ def fit(cfg, experiment: str = "default", resume: str | None = None,
 
     net = build_regression_net(cfg)
     rng = jax.random.PRNGKey(int(cfg.TPU.SEED))
+    train_keys = _train_keys(net)
 
     sample = next(iter(train_loader))
-    init_batch = {k: np.asarray(sample[k]) for k in _TRAIN_KEYS}
+    init_batch = {
+        k: np.asarray(sample[k], np.float32)
+        if np.asarray(sample[k]).dtype == np.float64 else np.asarray(sample[k])
+        for k in train_keys
+    }
     state = init_state(net, cfg, rng, init_batch)
 
     ckpt_dir = Path(weights_dir) / experiment
@@ -91,7 +111,7 @@ def fit(cfg, experiment: str = "default", resume: str | None = None,
         for i, vb in enumerate(val_loader):
             if val_batches is not None and i >= val_batches:
                 break
-            batches.append(_device_batch(vb, mesh, batch_size))
+            batches.append(_device_batch(vb, mesh, batch_size, train_keys))
         logs = run_validation(val_step, state, batches)
         return logs
 
@@ -107,7 +127,7 @@ def fit(cfg, experiment: str = "default", resume: str | None = None,
     t_start = time.time()
     for epoch in range(int(cfg.TRAINING.EPOCHS)):
         for batch in train_loader:
-            dbatch = _device_batch(batch, mesh, batch_size)
+            dbatch = _device_batch(batch, mesh, batch_size, train_keys)
             state, logs = train_step(state, dbatch)
             step += 1
 

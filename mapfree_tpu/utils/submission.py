@@ -36,29 +36,85 @@ class Pose:
         return f"{self.image_name} {q_str} {t_str} {self.inliers}"
 
 
-def predict(loader, model, times=None, transfer_workers: int = 2):
-    """Run the model over a loader; returns dict scene -> [Pose].
+def iter_predictions(loader, model, meta_fn, times=None,
+                     transfer_workers: int = 2, depth: int = 3):
+    """Pipelined sweep: yields ``(meta_fn(batch), fetch)`` in loader order,
+    where ``fetch() -> (R, t, inliers)`` blocks on that batch's D2H.
 
-    When the model exposes the ``transfer_batch``/``dispatch_device`` split
-    (the jitted regression path), the sweep runs as a three-stage pipeline:
-    a worker thread ships batches to the device (H2D is the dominant cost on
-    a remote-tunnel link), the main thread issues compute dispatches in
-    order, and up to ``depth`` in-flight batches defer their D2H fetch — so
-    decode, transfer, compute, and pose extraction overlap and the sweep
-    runs at the speed of the slowest stage instead of their sum.
+    When the model exposes the ``transfer_batch``/``dispatch_device`` split,
+    the sweep runs as a three-stage pipeline: worker threads ship batches to
+    the device (H2D is the dominant cost on a remote-tunnel link), the main
+    thread issues compute dispatches in order, and up to ``depth`` in-flight
+    batches defer their D2H fetch — so decode, transfer, compute, and host
+    consumption overlap and the sweep runs at the speed of the slowest stage
+    instead of their sum. ``meta_fn`` extracts whatever batch fields the
+    consumer needs (images are NOT kept alive in the pending queue).
 
-    ``times`` (a :class:`mapfree_tpu.utils.timing.StageTimes`) collects the
-    per-stage busy-time breakdown the round-2 sweep lacked.
+    Every consumer-facing sweep (submission, ScanNet, 7Scenes) routes
+    through here, so each gets the pipelining the reference's serial
+    batch-1 loops lack (reference submission.py:33-58,
+    benchmark/scannet.py:15-57, benchmark/sevenscenes.py:17-66).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from mapfree_tpu.utils.timing import NULL_TIMES
 
     times = times or NULL_TIMES
+    transfer = getattr(model, "transfer_batch", None)
+    if transfer is None:  # no split exposed: plain serial loop
+        for batch in loader:
+            meta = meta_fn(batch)
+            with times.stage("solve"):
+                r = model.predict_batch(batch)
+            yield meta, (lambda r=r: r)
+        return
+
+    max_transfers = transfer_workers + 1  # batches being shipped host->device
+    #                    (worker threads overlap tunnel round-trips; one
+    #                    queued batch keeps a worker busy the moment one
+    #                    finishes)
+    pending = []
+    inflight = []
+    it = iter(loader)
+    exhausted = False
+    with ThreadPoolExecutor(max_workers=transfer_workers) as ex:
+        while not exhausted or inflight or pending:
+            while not exhausted and len(inflight) < max_transfers:
+                with times.stage("load_wait"):
+                    batch = next(it, None)
+                if batch is None:
+                    exhausted = True
+                    break
+                meta = meta_fn(batch)
+                inflight.append(
+                    (meta, ex.submit(model.transfer_batch, batch, times)))
+            if inflight:
+                meta, fut = inflight.pop(0)
+                with times.stage("transfer_wait"):
+                    transferred = fut.result()
+                pending.append((meta, model.dispatch_device(transferred, times)))
+                while len(pending) > depth:
+                    yield pending.pop(0)
+            elif pending:
+                yield pending.pop(0)
+
+
+def predict(loader, model, times=None, transfer_workers: int = 2):
+    """Run the model over a loader; returns dict scene -> [Pose].
+
+    ``times`` (a :class:`mapfree_tpu.utils.timing.StageTimes`) collects the
+    per-stage busy-time breakdown the round-2 sweep lacked.
+    """
+    from mapfree_tpu.utils.timing import NULL_TIMES
+
+    times = times or NULL_TIMES
     results_dict = defaultdict(list)
 
-    def consume(meta, fetch):
-        scene_ids, pair_names = meta
+    def meta_fn(batch):
+        return (batch["scene_id"], batch["pair_names"])
+
+    for (scene_ids, pair_names), fetch in iter_predictions(
+            loader, model, meta_fn, times, transfer_workers):
         R, t, inliers = fetch()
         with times.stage("pose_extract"):
             for i in range(R.shape[0]):
@@ -77,45 +133,6 @@ def predict(loader, model, times=None, transfer_workers: int = 2):
                         inliers=float(np.asarray(inliers[i])),
                     )
                 )
-
-    transfer = getattr(model, "transfer_batch", None)
-    if transfer is None:  # matching track: host/solver hybrid, plain loop
-        for batch in loader:
-            meta = (batch["scene_id"], batch["pair_names"])
-            with times.stage("solve"):
-                r = model.predict_batch(batch)
-            consume(meta, lambda r=r: r)
-        return results_dict
-
-    depth = 3          # dispatched batches awaiting their D2H fetch
-    max_transfers = transfer_workers + 1  # batches being shipped host->device
-    #                    (worker threads overlap tunnel round-trips; one
-    #                    queued batch keeps a worker busy the moment one
-    #                    finishes)
-    pending = []
-    inflight = []
-    it = iter(loader)
-    exhausted = False
-    with ThreadPoolExecutor(max_workers=transfer_workers) as ex:
-        while not exhausted or inflight or pending:
-            while not exhausted and len(inflight) < max_transfers:
-                with times.stage("load_wait"):
-                    batch = next(it, None)
-                if batch is None:
-                    exhausted = True
-                    break
-                meta = (batch["scene_id"], batch["pair_names"])
-                inflight.append(
-                    (meta, ex.submit(model.transfer_batch, batch, times)))
-            if inflight:
-                meta, fut = inflight.pop(0)
-                with times.stage("transfer_wait"):
-                    transferred = fut.result()
-                pending.append((meta, model.dispatch_device(transferred, times)))
-                while len(pending) > depth:
-                    consume(*pending.pop(0))
-            elif pending:
-                consume(*pending.pop(0))
     return results_dict
 
 

@@ -234,3 +234,40 @@ class TestDatasetAndLoader:
         assert list(iter(sampler)) == list(iter(sampler))
         sampler2 = RandomConcatSampler(ds, 5, True, reset_on_iter=False)
         assert list(iter(sampler2)) != list(iter(sampler2))
+
+
+class TestPacking:
+    """Round-trip contract of the single-buffer transfer protocol
+    (utils/packing.py): byte-exact for every dtype it ships, pinning the
+    little-endian bitcast semantics the device unpack relies on."""
+
+    def test_pack_unpack_roundtrip(self):
+        import jax
+
+        from mapfree_tpu.utils.packing import pack_arrays, spec_of, unpack
+
+        rng = np.random.default_rng(0)
+        named = [
+            ("ridx", rng.integers(0, 1 << 20, size=7).astype(np.int32)),
+            ("img", rng.integers(0, 255, size=(2, 6, 4), dtype=np.uint8)),
+            ("pts", rng.normal(size=(3, 5, 2)).astype(np.float32)),
+            ("mask", rng.integers(0, 2, size=(3, 5)).astype(bool)),
+            ("key", np.asarray([0, 1234], np.uint32)),
+        ]
+        buf = pack_arrays([a for _, a in named])
+        assert buf.dtype == np.uint8
+        assert buf.nbytes == sum(a.nbytes for a in dict(named).values())
+        spec = spec_of(named)
+        out = jax.jit(lambda b: unpack(b, spec))(buf)
+        for name, a in named:
+            got = np.asarray(out[name])
+            assert got.dtype == a.dtype, name
+            np.testing.assert_array_equal(got, a, err_msg=name)
+
+    def test_pack_handles_noncontiguous(self):
+        from mapfree_tpu.utils.packing import pack_arrays
+
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)[:, ::2]
+        buf = pack_arrays([a])
+        np.testing.assert_array_equal(
+            buf.view(np.float32).reshape(a.shape), a)

