@@ -111,6 +111,10 @@ _CN.TRAINING.LAMBDA = 1.0  # 0.0 -> Kendall learnable weighting
 _CN.DEPTH_NET = CN()
 _CN.DEPTH_NET.ENABLED = False
 _CN.DEPTH_NET.CHECKPOINT = ''    # orbax dir of trained depth weights
+#                                  (produce with tools/train_depth.py)
+_CN.DEPTH_NET.ALLOW_RANDOM = False  # permit an UNTRAINED depth net (tests/
+#                                  smoke only: random depth silently corrupts
+#                                  metric scale in production sweeps)
 _CN.DEPTH_NET.NUM_BLOCKS = '2-2-2'
 _CN.DEPTH_NET.MAX_DEPTH = 20.0   # metres at inverse-depth saturation
 

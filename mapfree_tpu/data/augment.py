@@ -18,6 +18,12 @@ _LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
 
 
 def _to_float01(image):
+    if image.shape[-1] != 3:
+        # packed planar YUV420 uint8 [..., H*3/2, W] (the loader's cheapest
+        # transfer format, data/mapfree.py) — unpack on device first
+        from mapfree_tpu.ops.image import yuv420_to_rgb
+
+        return yuv420_to_rgb(image)
     if image.dtype == jnp.uint8:
         return image.astype(jnp.float32) / 255.0
     return image.astype(jnp.float32)

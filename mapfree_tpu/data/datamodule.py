@@ -50,6 +50,13 @@ class DataModule:
 
     def train_dataloader(self) -> DataLoader:
         dataset = self.dataset_type(self.cfg, "train", transforms=self._transforms())
+        if (bool(self.cfg.TPU.DEVICE_AUGMENT)
+                and hasattr(dataset, "yuv420_getitems")):
+            # the train step unpacks YUV in-graph (augment/_to_float01), so
+            # the loader can ship half the bytes; the source JPEGs are
+            # already 4:2:0-subsampled so the extra loss is the resize
+            # round trip only
+            dataset.yuv420_getitems = bool(self.cfg.TPU.YUV420_TRANSFER)
         sampler = self.get_sampler(dataset)
         return DataLoader(
             dataset,

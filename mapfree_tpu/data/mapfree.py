@@ -358,6 +358,11 @@ class ConcatDataset:
         # getbatch ships planar YUV420 uint8 (half the H2D bytes) when set
         # by the owning dataset (cfg.TPU.YUV420_TRANSFER) and dims are even
         self.yuv420_transfer = False
+        # getitems may ALSO emit YUV420 samples — only for consumers whose
+        # device program unpacks them (the train step with DEVICE_AUGMENT;
+        # DataModule.train_dataloader sets this). Host consumers (SIFT,
+        # visualisation) need RGB, so this is opt-in per loader, not global.
+        self.yuv420_getitems = False
 
     def __len__(self):
         return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
@@ -400,6 +405,13 @@ class ConcatDataset:
             return [ds[i] for ds, i in resolved]
         w, h = next(iter(sizes))
         uint8 = all(ds.transforms is None for ds, _ in resolved)
+        # planar YUV420 halves the train loader's H2D bytes; restricted to
+        # single-frame samples (the multi-frame fusion net normalises RGB)
+        # and opt-in via yuv420_getitems (host consumers need RGB). Cache
+        # keys carry the format so mixed calls can't serve the wrong layout.
+        yuv = (self.yuv420_getitems and uint8 and w % 2 == 0 and h % 2 == 0
+               and all(len(pl) == 2 for pl in path_lists))
+        ckey = (lambda p: ("yuv", p)) if yuv else (lambda p: p)
 
         # decode each unique path once: in the eval sweep every sample of a
         # scene shares the same reference frame, so dedup + a small
@@ -413,14 +425,15 @@ class ConcatDataset:
             for p in pl:
                 if p in by_path or p in cached:
                     continue
-                hit = self._decode_cache.get(p)
+                hit = self._decode_cache.get(ckey(p))
                 if hit is not None:
                     cached[p] = hit
                 else:
                     by_path[p] = len(unique)
                     unique.append(p)
         decoded = (
-            decode_resize_batch(unique, w, h, uint8=uint8) if unique else None
+            decode_resize_batch(unique, w, h, uint8=uint8, yuv420=yuv)
+            if unique else None
         )
 
         def lookup(p):
@@ -435,7 +448,7 @@ class ConcatDataset:
                 counts[p] = counts.get(p, 0) + 1
         for p, c in counts.items():
             if c > 1:
-                self._decode_cache[p] = lookup(p)
+                self._decode_cache[ckey(p)] = lookup(p)
         while len(self._decode_cache) > 16:
             self._decode_cache.pop(next(iter(self._decode_cache)))
 

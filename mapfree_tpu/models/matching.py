@@ -226,6 +226,7 @@ class FeatureMatchingModel:
             raise NotImplementedError("Invalid pose solver")
         self.n_iters = int(cfg.TPU.RANSAC_ITERATIONS)
         self._step = 0
+        self._unpack_fns: dict = {}  # transfer spec -> jitted unpack
 
         self.depth_net = None
         if bool(cfg.DEPTH_NET.ENABLED):
@@ -245,7 +246,7 @@ class FeatureMatchingModel:
         return depth[np.arange(B)[:, None], y, x].astype(np.float32)
 
     def _depth_map_host(self, batch, key_):
-        """Host depth map with the same validation as :meth:`_depth_map`."""
+        """Validated host depth map from the loader batch."""
         d = batch.get(key_)
         if d is None or np.ndim(d) != 3 or np.shape(d)[-1] == 0:
             raise ValueError(
@@ -254,23 +255,23 @@ class FeatureMatchingModel:
             )
         return d
 
-    def _depth_map(self, batch, key_):
-        if self.depth_net is not None:
-            # in-graph depth from the batch images (one dispatch per view)
-            return self.depth_net(batch["image0" if key_ == "depth0"
-                                        else "image1"])
-        d = batch[key_]
-        if d.ndim != 3 or d.shape[-1] == 0:
-            raise ValueError(
-                f"solver {self.solver} requires depth maps; set "
-                "DATASET.ESTIMATED_DEPTH or DEPTH_NET.ENABLED"
-            )
-        return jnp.asarray(d)
+    def _unpack_fn(self, spec):
+        """Cached jitted unpack of the single per-batch transfer buffer
+        (one dispatch returning every solver input as a device array)."""
+        fn = self._unpack_fns.get(spec)
+        if fn is None:
+            from mapfree_tpu.utils.packing import unpack
+
+            fn = self._unpack_fns[spec] = jax.jit(
+                lambda buf: unpack(buf, spec))
+        return fn
 
     def transfer_batch(self, batch, times=None):
         """Host stage (safe on a worker thread): correspondence fetch, host
-        depth gather, H2D of the solver inputs. Returns the device-resident
-        argument pack for :meth:`dispatch_device`."""
+        depth gather, then ONE packed-buffer H2D. Six small per-array
+        transfers cost six tunnel round trips (~27 ms each — the round-4
+        matching sweep's dominant stage); the packed buffer costs one."""
+        from mapfree_tpu.utils.packing import pack_arrays, spec_of
         from mapfree_tpu.utils.timing import NULL_TIMES
 
         times = times or NULL_TIMES
@@ -278,69 +279,72 @@ class FeatureMatchingModel:
         with times.stage("correspondences"):
             pts0, pts1, mask = self.feature_matching.get_correspondences(batch)
         B = pts0.shape[0]
-        key = jax.random.PRNGKey(self._step)
+        # raw threefry key, equal to jax.random.PRNGKey(self._step)
+        key = np.asarray([0, self._step], np.uint32)
         self._step += 1
 
         metric = (self.solver.startswith("EssentialMatrix")
                   and self.solver != "EssentialMatrix")
-        dev = {}
-        host_extra = {}
-        # pre-gather point depths on the host whenever the solver only needs
-        # depth AT the correspondences (essential-metric, PnP); full maps
-        # ship only for Procrustes (dense clouds) or the in-graph depth net
-        if metric and self.depth_net is None:
+        named = [("key", key), ("pts0", pts0), ("pts1", pts1),
+                 ("mask", mask),
+                 ("K0", np.asarray(batch["K_color0"], np.float32)),
+                 ("K1", np.asarray(batch["K_color1"], np.float32))]
+        if self.depth_net is not None and self.solver != "EssentialMatrix":
+            # in-graph depth: ship the images; the depth net + keypoint
+            # gather run on device (DepthPredictor.point_depths)
+            named.append(("image0", np.asarray(batch["image0"])))
+            if self.solver != "PNP":
+                named.append(("image1", np.asarray(batch["image1"])))
+        elif metric:
             with times.stage("depth_gather"):
-                dev["d0"] = self._gather_depth_host(
-                    self._depth_map_host(batch, "depth0"), pts0)
-                dev["d1"] = self._gather_depth_host(
-                    self._depth_map_host(batch, "depth1"), pts1)
-        elif self.solver == "PNP" and self.depth_net is None:
+                named.append(("d0", self._gather_depth_host(
+                    self._depth_map_host(batch, "depth0"), pts0)))
+                named.append(("d1", self._gather_depth_host(
+                    self._depth_map_host(batch, "depth1"), pts1)))
+        elif self.solver == "PNP":
             with times.stage("depth_gather"):
-                dev["d0"] = self._gather_depth_host(
-                    self._depth_map_host(batch, "depth0"), pts0)
+                named.append(("d0", self._gather_depth_host(
+                    self._depth_map_host(batch, "depth0"), pts0)))
         elif self.solver == "Procrustes":
-            d0 = self._depth_map(batch, "depth0")
-            d1 = self._depth_map(batch, "depth1")
-            dev["depth0"], dev["depth1"] = d0, d1
+            d0 = np.asarray(self._depth_map_host(batch, "depth0"), np.float32)
+            d1 = np.asarray(self._depth_map_host(batch, "depth1"), np.float32)
+            named += [("depth0", d0), ("depth1", d1)]
             if bool(cfg.PROCRUSTES.REFINE):
                 with times.stage("depth_gather"):
-                    d0_np, d1_np = np.asarray(d0), np.asarray(d1)
                     clouds0, masks0, clouds1, masks1 = [], [], [], []
                     for i in range(B):
                         c0, mm0 = dense_cloud_from_depth(
-                            d0_np[i], np.asarray(batch["K_color0"][i]),
+                            d0[i], np.asarray(batch["K_color0"][i]),
                             4096, seed=i)
                         c1, mm1 = dense_cloud_from_depth(
-                            d1_np[i], np.asarray(batch["K_color1"][i]),
+                            d1[i], np.asarray(batch["K_color1"][i]),
                             4096, seed=i + 1)
                         clouds0.append(c0); masks0.append(mm0)
                         clouds1.append(c1); masks1.append(mm1)
-                dev.update(
-                    icp_cloud0=np.stack(clouds0), icp_mask0=np.stack(masks0),
-                    icp_cloud1=np.stack(clouds1), icp_mask1=np.stack(masks1))
-        elif self.depth_net is not None and self.solver != "EssentialMatrix":
-            host_extra["image0"] = batch["image0"]
-            host_extra["image1"] = batch["image1"]
+                named += [("icp_cloud0", np.stack(clouds0)),
+                          ("icp_mask0", np.stack(masks0)),
+                          ("icp_cloud1", np.stack(clouds1)),
+                          ("icp_mask1", np.stack(masks1))]
 
-        dev.update(pts0=pts0, pts1=pts1, mask=mask,
-                   K0=np.asarray(batch["K_color0"]),
-                   K1=np.asarray(batch["K_color1"]))
+        spec = spec_of(named)
         with times.stage("h2d"):
-            dev = {k: jnp.asarray(v) for k, v in dev.items()}
-            for a in dev.values():
-                a.block_until_ready()
-        return (dev, host_extra, key, B)
+            buf = pack_arrays([a for _, a in named])
+            dev = jnp.asarray(buf)
+            dev.block_until_ready()  # see builder.transfer_batch: dispatching
+            #                          against in-flight transfers is ~10x slower
+        return (spec, dev, B)
 
     def dispatch_device(self, transferred, times=None):
-        """Device stage: one fused solver dispatch (plus the adaptive
-        ladder's escalation tier when triggered). Returns
-        finalize() -> (R, t, inliers) numpy — the only D2H fetch."""
+        """Device stage: one unpack dispatch + one fused solver dispatch
+        (plus the adaptive ladder's escalation tier when triggered).
+        Returns finalize() -> (R, t, inliers) numpy — the only D2H fetch."""
         from mapfree_tpu.utils.timing import NULL_TIMES
 
         times = times or NULL_TIMES
         cfg = self.cfg
-        d = transferred[0]
-        host_extra, key, B = transferred[1:]
+        spec, dev, B = transferred
+        d = self._unpack_fn(spec)(dev)
+        key = d["key"]
         pts0, pts1, maskj = d["pts0"], d["pts1"], d["mask"]
         K0, K1 = d["K0"], d["K1"]
 
@@ -348,7 +352,7 @@ class FeatureMatchingModel:
         # (ops/essential._pack_outputs) and the adaptive driver splits into
         # dispatch/finish so escalation never blocks this stage — the batch
         # costs at most ONE D2H round trip, paid lazily in finalize()
-        packed = host_packed = adaptive_finish = None
+        packed = adaptive_finish = None
         with times.stage("solve"):
             if self.solver.startswith("EssentialMatrix"):
                 metric = self.solver != "EssentialMatrix"
@@ -357,67 +361,60 @@ class FeatureMatchingModel:
                 scale_thr = float(cfg.EMAT_RANSAC.SCALE_THRESHOLD)
                 pix_thr = float(cfg.EMAT_RANSAC.PIX_THRESHOLD)
                 adaptive = bool(cfg.TPU.ADAPTIVE_RANSAC)
-                if metric and "d0" in d:
-                    # fused solver + scale, point depths shipped
-                    if adaptive:
-                        adaptive_finish = essential_pose_adaptive_async(
-                            key, pts0, pts1, maskj, K0, K1, pix_thr,
-                            n_iters=self.n_iters,
-                            point_depths=(d["d0"], d["d1"], scale_thr,
-                                          variant))
-                    else:
-                        out = essential_pose_metric(
-                            key, pts0, pts1, maskj, K0, K1, pix_thr,
-                            d["d0"], d["d1"], scale_thr, variant=variant,
-                            n_iters=self.n_iters)
-                        packed = out["packed"]
-                elif adaptive and not metric:
+                point_depths = None
+                if metric:
+                    if "d0" in d:  # pre-gathered file depth
+                        d0, d1 = d["d0"], d["d1"]
+                    else:  # in-graph depth net, fused gather on device
+                        with times.stage("depth_net"):
+                            d0 = self.depth_net.point_depths(
+                                d["image0"], pts0)
+                            d1 = self.depth_net.point_depths(
+                                d["image1"], pts1)
+                    point_depths = (d0, d1, scale_thr, variant)
+                if adaptive:
                     adaptive_finish = essential_pose_adaptive_async(
                         key, pts0, pts1, maskj, K0, K1, pix_thr,
+                        n_iters=self.n_iters, point_depths=point_depths)
+                elif metric:
+                    out = essential_pose_metric(
+                        key, pts0, pts1, maskj, K0, K1, pix_thr,
+                        d0, d1, scale_thr, variant=variant,
                         n_iters=self.n_iters)
-                else:
-                    solve = (essential_pose_adaptive if adaptive
-                             else essential_pose)
-                    out = solve(key, pts0, pts1, maskj, K0, K1, pix_thr,
-                                n_iters=self.n_iters)
                     packed = out["packed"]
-                    host_packed = out.get("_host_packed")
-                    if metric:
-                        # in-graph depth (DEPTH_NET): gather on device;
-                        # R/t/inliers change, so the solver's pack is stale
-                        packed = host_packed = None
-                        R, t, inl = out["R"], out["t"], out["inliers"]
-                        batch_like = {k: v for k, v in host_extra.items()}
-                        t, inl, ok = metric_scale_from_depth(
-                            R, t, pts0, pts1, out["inlier_mask"],
-                            self._depth_map(batch_like, "depth0"),
-                            self._depth_map(batch_like, "depth1"),
-                            K0, K1, scale_thr, variant=variant)
-                        R = jnp.where(ok[:, None, None], R, jnp.nan)
+                else:
+                    out = essential_pose(key, pts0, pts1, maskj, K0, K1,
+                                         pix_thr, n_iters=self.n_iters)
+                    packed = out["packed"]
             elif self.solver == "PNP":
+                if "d0" in d:
+                    d0 = d["d0"]
+                else:
+                    with times.stage("depth_net"):
+                        d0 = self.depth_net.point_depths(d["image0"], pts0)
                 out = pnp_pose(
-                    key, pts0, pts1, maskj,
-                    d["d0"] if "d0" in d else self._depth_map(
-                        host_extra, "depth0"),
-                    K0, K1,
+                    key, pts0, pts1, maskj, d0, K0, K1,
                     float(cfg.PNP.REPROJECTION_INLIER_THRESHOLD),
-                    n_iters=self.n_iters, point_depths="d0" in d,
+                    n_iters=self.n_iters, point_depths=True,
                 )
-                R, t, inl = out["R"], out["t"], out["inliers"]
+                packed = _pack_pose(out["R"], out["t"], out["inliers"])
             else:  # Procrustes
                 refine = bool(cfg.PROCRUSTES.REFINE)
+                if "depth0" in d:
+                    depth0, depth1 = d["depth0"], d["depth1"]
+                else:
+                    with times.stage("depth_net"):
+                        depth0 = self.depth_net(d["image0"])
+                        depth1 = self.depth_net(d["image1"])
                 kwargs = {k: d[k] for k in ("icp_cloud0", "icp_mask0",
                                             "icp_cloud1", "icp_mask1")
                           if k in d}
                 out = procrustes_pose(
-                    key, pts0, pts1, maskj, d["depth0"], d["depth1"],
+                    key, pts0, pts1, maskj, depth0, depth1,
                     K0, K1, float(cfg.PROCRUSTES.MAX_CORR_DIST),
                     n_iters=self.n_iters, refine=refine, **kwargs,
                 )
-                R, t, inl = out["R"], out["t"], out["inliers"]
-
-        if packed is None and adaptive_finish is None:
-            packed = _pack_pose(R, t, inl)  # async; ONE [B,13+] D2H below
+                packed = _pack_pose(out["R"], out["t"], out["inliers"])
 
         def finalize():
             if adaptive_finish is not None:
@@ -425,8 +422,6 @@ class FeatureMatchingModel:
                 # fetch that drives the tier decision IS the pose fetch
                 with times.stage("d2h_wait"):
                     p = adaptive_finish()["_host_packed"]
-            elif host_packed is not None:
-                p = host_packed  # the adaptive driver already fetched it
             else:
                 with times.stage("d2h_wait"):
                     p = np.asarray(packed, np.float32)

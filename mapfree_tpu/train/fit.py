@@ -30,6 +30,7 @@ from mapfree_tpu.train.state import (
     make_train_step,
     make_val_step,
 )
+from mapfree_tpu.utils.data import prefetch_to_device
 
 _TRAIN_KEYS = ("image0", "image1", "T_0to1")
 _DEVICE_POSE_KEYS = ("abs_q_1_w2c_device", "abs_c_1_c2w_device")
@@ -123,11 +124,16 @@ def fit(cfg, experiment: str = "default", resume: str | None = None,
         jax.profiler.start_trace(str(profile_dir))
         profile_until = int(state.step) + 20
 
+    def _transfer(batch):
+        dbatch = _device_batch(batch, mesh, batch_size, train_keys)
+        jax.block_until_ready(dbatch)  # fence: see utils.data.prefetch_to_device
+        return dbatch
+
     step = int(state.step)
     t_start = time.time()
     for epoch in range(int(cfg.TRAINING.EPOCHS)):
-        for batch in train_loader:
-            dbatch = _device_batch(batch, mesh, batch_size, train_keys)
+        # batch k+1's H2D overlaps batch k's (async) step dispatch
+        for dbatch in prefetch_to_device(train_loader, _transfer):
             state, logs = train_step(state, dbatch)
             step += 1
 

@@ -37,7 +37,7 @@ class Pose:
 
 
 def iter_predictions(loader, model, meta_fn, times=None,
-                     transfer_workers: int = 2, depth: int = 3):
+                     transfer_workers: int = 4, depth: int | None = None):
     """Pipelined sweep: yields ``(meta_fn(batch), fetch)`` in loader order,
     where ``fetch() -> (R, t, inliers)`` blocks on that batch's D2H.
 
@@ -69,10 +69,13 @@ def iter_predictions(loader, model, meta_fn, times=None,
             yield meta, (lambda r=r: r)
         return
 
+    if depth is None:
+        depth = max(3, transfer_workers)
     max_transfers = transfer_workers + 1  # batches being shipped host->device
-    #                    (worker threads overlap tunnel round-trips; one
-    #                    queued batch keeps a worker busy the moment one
-    #                    finishes)
+    #                    (the tunnel's post-materialisation H2D is round-trip
+    #                    bound per ~MB chunk and scales near-linearly with
+    #                    concurrent streams — tools/poison_experiment.py —
+    #                    so parallel transfer workers are the main H2D lever)
     pending = []
     inflight = []
     it = iter(loader)
@@ -99,7 +102,7 @@ def iter_predictions(loader, model, meta_fn, times=None,
                 yield pending.pop(0)
 
 
-def predict(loader, model, times=None, transfer_workers: int = 2):
+def predict(loader, model, times=None, transfer_workers: int = 4):
     """Run the model over a loader; returns dict scene -> [Pose].
 
     ``times`` (a :class:`mapfree_tpu.utils.timing.StageTimes`) collects the

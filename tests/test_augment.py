@@ -162,3 +162,39 @@ class TestWiring:
         # — different loss from logs1 on identical raw batch implies the
         # jitter actually varied with the step counter
         assert float(logs1["train/loss"]) != float(logs2["train/loss"])
+
+
+def test_device_color_jitter_accepts_yuv420():
+    """The train loader may ship packed planar YUV420 (half the bytes);
+    the device augment must unpack it and produce (near-)identical jitter
+    output to the RGB path — within the 4:2:0 chroma round-trip bound."""
+    import jax
+    import numpy as np
+
+    from mapfree_tpu.data.augment import device_color_jitter
+    from mapfree_tpu.data.io import decode_resize_batch, HAS_NATIVE_DECODER
+
+    if not HAS_NATIVE_DECODER:
+        import pytest
+
+        pytest.skip("native decoder not built")
+    import cv2
+    import tempfile
+    from pathlib import Path
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        # smooth photo-like content (worst-case noise chroma is bounded in
+        # test_image_ops; here we pin the augment plumbing)
+        base = rng.integers(0, 235, size=(12, 9, 3), dtype=np.uint8)
+        img = cv2.resize(base, (48, 64), interpolation=cv2.INTER_CUBIC)
+        p = str(Path(d) / "a.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        rgb = decode_resize_batch([p], 48, 64, uint8=True)
+        yuv = decode_resize_batch([p], 48, 64, uint8=True, yuv420=True)
+
+    key = jax.random.PRNGKey(3)
+    out_rgb = np.asarray(device_color_jitter(key, rgb))
+    out_yuv = np.asarray(device_color_jitter(key, yuv))
+    assert out_yuv.shape == out_rgb.shape == (1, 64, 48, 3)
+    assert np.abs(out_yuv - out_rgb).mean() < 0.02

@@ -252,9 +252,9 @@ def main():
 
     if args.write_doc:
         doc = Path(__file__).resolve().parent.parent / "docs" / "SOLVER_THROUGHPUT.md"
+        begin, end = "<!-- BEGIN GENERATED TABLE -->", "<!-- END GENERATED TABLE -->"
         lines = [
-            "# Essential-matrix solver: TPU batched pipeline vs OpenCV",
-            "",
+            begin,
             f"Synthetic two-view pairs ({args.pairs} pairs, {args.n} correspondences,",
             f"threshold {args.thr} px). OpenCV = the reference's exact path:",
             "`cv.findEssentialMat(USAC_MAGSAC)` + `cv.recoverPose` per pair",
@@ -264,7 +264,9 @@ def main():
             "`essential_pose_adaptive` two-tier budget ladder with a 5-point-heavy",
             "escalation tier (host-loop timing, dispatch cost INCLUDED — the honest",
             "like-for-like vs OpenCV's loop).",
-            "Generated by `python tools/solver_benchmark.py --write-doc`.",
+            "Table generated by `python tools/solver_benchmark.py --write-doc`",
+            "(regeneration replaces only this marked block; the analysis below",
+            "it is hand-written).",
             "",
             "| outliers | noise px | solver | rot med (deg) | rot p90 | t-dir med | t-dir p90 | pairs/s |",
             "|---|---|---|---|---|---|---|---|",
@@ -280,7 +282,17 @@ def main():
                 lines.append(
                     f"| {rho:.0%} | {noise} | TPU adaptive (1 chip) | {s_ad[0]:.2f} "
                     f"| {s_ad[1]:.2f} | {s_ad[2]:.2f} | {s_ad[3]:.2f} | {pps_ad:.1f} |")
-        doc.write_text("\n".join(lines) + "\n")
+        lines.append(end)
+        block = "\n".join(lines)
+        if doc.exists() and begin in doc.read_text():
+            old = doc.read_text()
+            pre = old[: old.index(begin)]
+            post = old[old.index(end) + len(end):]
+            doc.write_text(pre + block + post)
+        else:
+            doc.write_text(
+                "# Essential-matrix solver: TPU batched pipeline vs OpenCV\n\n"
+                + block + "\n")
         print(f"wrote {doc}")
 
 
