@@ -76,16 +76,22 @@ def _flagship_cfg():
     return cfg
 
 
-def tunnel_probe(size_mb: int = 32, reps: int = 3):
-    """Raw tunnel H2D bandwidth: ship ``size_mb`` of fresh uint8 ``reps``
-    times, once single-threaded and once from two threads concurrently (the
-    sweep's transfer-worker configuration). The aggregate MB/s bounds the
-    achievable e2e pairs/s: pairs/s <= tunnel_mbps / MB-per-pair
-    (docs/NOTES.md documents 5-6x tunnel variance across processes — this
-    probe stamps every bench run with the tunnel's health at measurement
-    time, so round-over-round regressions can be attributed)."""
+def tunnel_probe(size_mb: int = 21, reps: int = 3):
+    """Tunnel H2D bandwidth in BOTH of its modes (docs/TUNNEL.md):
+
+    - ``spec``: speculation/recording mode (before the process's first D2H
+      materialization) — journal-buffered, ~GB/s, NOT the real wire;
+    - ``wire``: after a D2H fetch of an executed result permanently drops
+      the session into synchronous mode — the throughput every sweep
+      actually gets, since producing any result requires that fetch.
+
+    The wire numbers bound achievable e2e pairs/s:
+    pairs/s <= wire_mbps_aggregate / MB-per-pair. The probe deliberately
+    performs the poisoning fetch itself; everything bench runs afterwards
+    pays the wire mode anyway (model-only fetches results too)."""
     import concurrent.futures
 
+    import jax
     import jax.numpy as jnp
 
     n = size_mb * 1024 * 1024
@@ -97,20 +103,31 @@ def tunnel_probe(size_mb: int = 32, reps: int = 3):
         return time.perf_counter() - t0
 
     ship(rng.integers(0, 255, size=1 << 20, dtype=np.uint8))  # warm path
+    spec = []
+    for r in range(reps):
+        spec.append(size_mb / ship(
+            rng.integers(0, 255, size=n, dtype=np.uint8)))
+
+    # enter the real (post-materialization) mode
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    float(f(jnp.float32(1.0)))
+
     single = []
     for r in range(reps):
         single.append(size_mb / ship(
             rng.integers(0, 255, size=n, dtype=np.uint8)))
-    dual = []
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+    multi = []
+    workers = 3
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
         for r in range(reps):
-            a = rng.integers(0, 255, size=n, dtype=np.uint8)
-            b = rng.integers(0, 255, size=n, dtype=np.uint8)
+            arrs = [rng.integers(0, 255, size=n, dtype=np.uint8)
+                    for _ in range(workers)]
             t0 = time.perf_counter()
-            list(ex.map(ship, [a, b]))
-            dual.append(2 * size_mb / (time.perf_counter() - t0))
-    return {"h2d_mbps_1thread": round(float(np.median(single)), 1),
-            "h2d_mbps_2thread": round(float(np.median(dual)), 1)}
+            list(ex.map(ship, arrs))
+            multi.append(workers * size_mb / (time.perf_counter() - t0))
+    return {"h2d_mbps_speculation": round(float(np.median(spec)), 1),
+            "h2d_mbps_wire_1thread": round(float(np.median(single)), 1),
+            "h2d_mbps_wire_3thread": round(float(np.median(multi)), 1)}
 
 
 def _model_flops(net, variables, B, h, w):
@@ -645,7 +662,10 @@ def bench_matching(batch: int = 20):
         start = time.perf_counter()
         results = sweep(Path(d) / "submission.zip", times)
         elapsed = time.perf_counter() - start
-        n_pairs = sum(len(v) for v in results.values())
+        # throughput counts PROCESSED pairs: the extreme tier legitimately
+        # yields NaN failures (skipped poses), which are work done, not
+        # work avoided
+        n_pairs = len(dataset)
 
         # score each difficulty tier against its own scene subset; besides
         # the thresholded precisions, record the CONTINUOUS aggregate errors
@@ -752,10 +772,12 @@ def main():
     e2e_pps, e2e_stages = bench_e2e(cfg, min(best_batch, 32))
     match_pps, match_precision, match_stages = bench_matching()
 
-    # the tunnel's aggregate H2D bandwidth bounds the e2e sweep: each pair
-    # ships one packed-YUV420 query frame (H * W * 1.5 bytes)
+    # the tunnel's aggregate WIRE bandwidth bounds the e2e sweep: each pair
+    # ships one packed-YUV420 query frame (H * W * 1.5 bytes). The
+    # speculation-mode figure is NOT a ceiling — every sweep that produces
+    # results runs in wire mode (docs/TUNNEL.md)
     mb_per_pair = (cfg.DATASET.HEIGHT * cfg.DATASET.WIDTH * 1.5) / (1 << 20)
-    h2d_ceiling = tunnel["h2d_mbps_2thread"] / mb_per_pair
+    h2d_ceiling = tunnel["h2d_mbps_wire_3thread"] / mb_per_pair
 
     # Context: the north-star 2,000 pairs/s (BASELINE.json) is specified for
     # a v4-8 (8 chips); this bench runs on the single chip the environment
@@ -780,6 +802,10 @@ def main():
                 "e2e_val_sweep_pairs_per_s": round(e2e_pps, 2),
                 "e2e_vs_baseline": round(e2e_pps / BASELINE_PAIRS_PER_SEC, 4),
                 "e2e_h2d_ceiling_pairs_per_s": round(h2d_ceiling, 1),
+                # >= ~1.0 means the sweep saturates the tunnel's real wire
+                # (the decomposition VERDICT r4 task 1 asked for)
+                "e2e_vs_wire_ceiling": round(e2e_pps / max(h2d_ceiling, 1e-9), 3),
+                "e2e_mb_per_pair": round(mb_per_pair, 4),
                 "e2e_stage_seconds": e2e_stages,
                 "matching_track_pairs_per_s": round(match_pps, 2),
                 "matching_precision": match_precision,

@@ -17,11 +17,15 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 _NUMERIC_KEYS = {
-    "image0", "image1", "depth0", "depth1", "T_0to1",
+    "image0", "image1", "T_0to1",
     "abs_q_0", "abs_c_0", "abs_q_1", "abs_c_1",
     "K_color0", "K_color1", "sim", "pair_id",
     "abs_q_1_w2c_device", "abs_q_1_c2w_device", "abs_c_1_c2w_device",
     "abs_q_1_c2w_multi", "abs_c_1_c2w_multi",
+    # depth0/depth1 deliberately NOT here: the matching track only samples
+    # depth AT correspondences, and np.stack of ~50 MB of maps per batch
+    # was the 1-core host's single biggest collate cost — consumers accept
+    # the uncollated per-sample list (FeatureMatchingModel._gather_depth_host)
 }
 
 

@@ -325,7 +325,7 @@ def _collated_metadata(resolved):
     T[:, :3, 3] = t12
     c1 = rotate_vector(-t1, qinverse(q1))
     c2 = rotate_vector(-t2, qinverse(q2))
-    empty = np.zeros((B, 0), np.float32)
+    empty = [np.zeros((0,), np.float32)] * B  # depth stays uncollated (loader)
     return {
         "depth0": empty,
         "depth1": empty,

@@ -227,6 +227,13 @@ class FeatureMatchingModel:
         self.n_iters = int(cfg.TPU.RANSAC_ITERATIONS)
         self._step = 0
         self._unpack_fns: dict = {}  # transfer spec -> jitted unpack
+        # the adaptive ladder's finish (tier-1 fetch -> escalation decision
+        # -> tier-2 dispatch) runs EAGERLY on this pool so batch i's
+        # escalation round trips overlap batches i+1..'s transfer/solve —
+        # the D2H wait is passive (no host CPU), so threads are free
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._finish_pool = ThreadPoolExecutor(max_workers=2)
 
         self.depth_net = None
         if bool(cfg.DEPTH_NET.ENABLED):
@@ -237,18 +244,28 @@ class FeatureMatchingModel:
     @staticmethod
     def _gather_depth_host(depth, kpts):
         """Host mirror of ops.essential.gather_depth at floor(kpts): sample
-        [B, H, W] maps at the keypoints so the tunnel ships [B, N] depths
-        instead of full maps (~50x fewer bytes at 2048 correspondences)."""
-        depth = np.asarray(depth)
-        B, H, W = depth.shape
-        x = np.clip(np.floor(kpts[..., 0]).astype(np.int64), 0, W - 1)
-        y = np.clip(np.floor(kpts[..., 1]).astype(np.int64), 0, H - 1)
-        return depth[np.arange(B)[:, None], y, x].astype(np.float32)
+        the depth maps at the keypoints so the tunnel ships [B, N] depths
+        instead of full maps (~50x fewer bytes at 2048 correspondences).
+
+        ``depth``: stacked [B, H, W] array OR a list of per-sample [H, W]
+        maps — the loader keeps depth UNSTACKED (collating ~50 MB of maps
+        per batch cost more 1-core host CPU than the entire solve)."""
+        B = len(depth)
+        out = np.zeros((B, kpts.shape[1]), np.float32)
+        for i in range(B):
+            d = np.asarray(depth[i])
+            H, W = d.shape
+            x = np.clip(np.floor(kpts[i, :, 0]).astype(np.int64), 0, W - 1)
+            y = np.clip(np.floor(kpts[i, :, 1]).astype(np.int64), 0, H - 1)
+            out[i] = d[y, x]
+        return out
 
     def _depth_map_host(self, batch, key_):
-        """Validated host depth map from the loader batch."""
+        """Validated host depth maps (stacked array or per-sample list)."""
         d = batch.get(key_)
-        if d is None or np.ndim(d) != 3 or np.shape(d)[-1] == 0:
+        ok = (d is not None and len(d) > 0
+              and all(np.ndim(m) == 2 and np.size(m) for m in d))
+        if not ok:
             raise ValueError(
                 f"solver {self.solver} requires depth maps; set "
                 "DATASET.ESTIMATED_DEPTH or DEPTH_NET.ENABLED"
@@ -306,8 +323,10 @@ class FeatureMatchingModel:
                 named.append(("d0", self._gather_depth_host(
                     self._depth_map_host(batch, "depth0"), pts0)))
         elif self.solver == "Procrustes":
-            d0 = np.asarray(self._depth_map_host(batch, "depth0"), np.float32)
-            d1 = np.asarray(self._depth_map_host(batch, "depth1"), np.float32)
+            d0 = np.stack([np.asarray(m, np.float32) for m in
+                           self._depth_map_host(batch, "depth0")])
+            d1 = np.stack([np.asarray(m, np.float32) for m in
+                           self._depth_map_host(batch, "depth1")])
             named += [("depth0", d0), ("depth1", d1)]
             if bool(cfg.PROCRUSTES.REFINE):
                 with times.stage("depth_gather"):
@@ -416,12 +435,15 @@ class FeatureMatchingModel:
                 )
                 packed = _pack_pose(out["R"], out["t"], out["inliers"])
 
+        finish_fut = (self._finish_pool.submit(adaptive_finish)
+                      if adaptive_finish is not None else None)
+
         def finalize():
-            if adaptive_finish is not None:
-                # blocks on tier 1, escalates the hard tail if needed; the
-                # fetch that drives the tier decision IS the pose fetch
+            if finish_fut is not None:
+                # tier-1 fetch + escalation already running on the pool;
+                # this just collects the result
                 with times.stage("d2h_wait"):
-                    p = adaptive_finish()["_host_packed"]
+                    p = finish_fut.result()["_host_packed"]
             else:
                 with times.stage("d2h_wait"):
                     p = np.asarray(packed, np.float32)
