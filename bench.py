@@ -417,6 +417,7 @@ def bench_train_loader(cfg, batch: int = 16, steps: int = 16):
         state = init_state(net, c, jax.random.PRNGKey(0), first)
         state, _ = step_fn(state, first)  # compile + warm
         jax.block_until_ready(state.params)
+        times.reset()  # drop warm-up/compile-phase stage time
 
         t0 = time.perf_counter()
         n = 0
@@ -822,7 +823,12 @@ def main():
                      # "done" bar is >= 0.8 (within 20% of device-only)
                      "train_loader_vs_device": round(
                          max(loader_sps.values()) / train_sps, 4),
-                     "train_loader_stage_seconds": loader_stages}
+                     "train_loader_stage_seconds": loader_stages,
+                     # wire-bound check: a training sample ships ref+query
+                     # as YUV420 uint8; loader samples/s is capped by
+                     # wire_mbps_aggregate / this (docs/TUNNEL.md)
+                     "train_mb_per_sample": round(
+                         2 * mb_per_pair, 4)}
                     if loader_sps is not None else {}
                 ),
             }

@@ -38,6 +38,12 @@ class StageTimes:
         self.seconds[name] += seconds
         self.calls[name] += 1
 
+    def reset(self):
+        """Zero the counters (e.g. after a warm-up window, so the summary
+        reflects only the measured region)."""
+        self.seconds.clear()
+        self.calls.clear()
+
     def summary(self) -> dict:
         return {k: round(v, 4) for k, v in sorted(self.seconds.items())}
 
