@@ -771,6 +771,18 @@ def main():
         _make_train_scenes()
         loader_sps, loader_stages = bench_train_loader(cfg)
     e2e_pps, e2e_stages = bench_e2e(cfg, min(best_batch, 32))
+    # the wire drifts minute-to-minute: re-sample it right after the sweep
+    # so the ceiling the sweep actually faced is bracketed in the record
+    import jax.numpy as _jnp
+
+    _rng = np.random.default_rng(7)
+    _wire = []
+    for _ in range(2):
+        _arr = _rng.integers(0, 255, size=4 << 20, dtype=np.uint8)
+        _t0 = time.perf_counter()
+        _jnp.asarray(_arr).block_until_ready()
+        _wire.append(4.0 / (time.perf_counter() - _t0))
+    wire_recheck = round(float(np.median(_wire)), 1)
     match_pps, match_precision, match_stages = bench_matching()
 
     # the tunnel's aggregate WIRE bandwidth bounds the e2e sweep: each pair
@@ -807,6 +819,7 @@ def main():
                 # (the decomposition VERDICT r4 task 1 asked for)
                 "e2e_vs_wire_ceiling": round(e2e_pps / max(h2d_ceiling, 1e-9), 3),
                 "e2e_mb_per_pair": round(mb_per_pair, 4),
+                "tunnel_wire_recheck_mbps": wire_recheck,
                 "e2e_stage_seconds": e2e_stages,
                 "matching_track_pairs_per_s": round(match_pps, 2),
                 "matching_precision": match_precision,
@@ -827,8 +840,10 @@ def main():
                      # wire-bound check: a training sample ships ref+query
                      # as YUV420 uint8; loader samples/s is capped by
                      # wire_mbps_aggregate / this (docs/TUNNEL.md)
-                     "train_mb_per_sample": round(
-                         2 * mb_per_pair, 4)}
+                     "train_mb_per_sample": round(2 * mb_per_pair, 4),
+                     "train_loader_vs_wire_ceiling": round(
+                         max(loader_sps.values()) * 2 * mb_per_pair
+                         / max(tunnel["h2d_mbps_wire_3thread"], 1e-9), 3)}
                     if loader_sps is not None else {}
                 ),
             }

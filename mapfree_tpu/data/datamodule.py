@@ -82,6 +82,8 @@ class DataModule:
             drop_last=True,
         )
 
-    def test_dataloader(self, batch_size: int = 1) -> DataLoader:
+    def test_dataloader(self, batch_size: int = 1,
+                        unique_refs: bool = False) -> DataLoader:
         dataset = self.dataset_type(self.cfg, "test")
-        return DataLoader(dataset, batch_size=batch_size, num_workers=1, shuffle=False)
+        return DataLoader(dataset, batch_size=batch_size, num_workers=1,
+                          shuffle=False, unique_refs=unique_refs)

@@ -36,7 +36,10 @@ def eval(args):
     batch = int(cfg.TPU.INFER_BATCH)
     dm = DataModule(cfg)
     if args.split == "test":
-        dataloader = dm.test_dataloader(batch_size=batch)
+        dataloader = dm.test_dataloader(
+            batch_size=batch,
+            unique_refs=(cfg.MODEL == "Regression"
+                         and int(cfg.TPU.UNIQUE_REFS) > 0))
     elif args.split == "val":
         # batched sweep over the full val split (no drop_last: every frame
         # must receive an estimate or count as a failure)
