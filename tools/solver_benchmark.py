@@ -208,20 +208,25 @@ def main():
     ap.add_argument("--pairs", type=int, default=64)
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument(
-        "--rows", type=str, default="0.3:0.5,0.5:0.5,0.7:2.0",
-        help="comma-separated outlier_ratio:noise_px conditions "
-             "(default includes the 70%%-outlier/2px MAGSAC stress regime)")
+        "--rows", type=str, default="0.3:0.5,0.5:0.5,0.7:2.0,0.85:2.0:128",
+        help="comma-separated outlier_ratio:noise_px[:n_corr] conditions "
+             "(defaults include the 70%%-outlier/2px MAGSAC stress regime "
+             "and the 85%%/128-correspondence extreme tier bench.py scores)")
     ap.add_argument("--thr", type=float, default=2.0)
     ap.add_argument("--skip-adaptive", action="store_true")
     ap.add_argument("--write-doc", action="store_true")
     args = ap.parse_args()
 
-    conds = [tuple(float(v) for v in r.split(":")) for r in args.rows.split(",")]
+    conds = []
+    for r in args.rows.split(","):
+        parts = r.split(":")
+        conds.append((float(parts[0]), float(parts[1]),
+                      int(parts[2]) if len(parts) > 2 else args.n))
     rng = np.random.default_rng(7)
     rows = []
-    for rho, noise in conds:
+    for rho, noise, n_corr in conds:
         kpts0, kpts1, R_gt, t_gt, K = make_pairs(
-            rng, args.pairs, args.n, noise, rho)
+            rng, args.pairs, n_corr, noise, rho)
 
         R_cv, t_cv, pps_cv = run_opencv(kpts0, kpts1, K, args.thr)
         R_tpu, t_tpu, pps_tpu = run_tpu(kpts0, kpts1, K, args.thr)
@@ -240,8 +245,9 @@ def main():
 
         s_cv, s_tpu = stats(R_cv, t_cv), stats(R_tpu, t_tpu)
         s_ad = stats(R_ad, t_ad) if R_ad is not None else None
-        rows.append((rho, noise, s_cv, pps_cv, s_tpu, pps_tpu, s_ad, pps_ad))
-        print(f"outliers {rho:.0%}, noise {noise} px:")
+        rows.append((rho, noise, n_corr, s_cv, pps_cv, s_tpu, pps_tpu,
+                     s_ad, pps_ad))
+        print(f"outliers {rho:.0%}, noise {noise} px, {n_corr} corr:")
         print(f"  OpenCV MAGSAC : rot med/p90 {s_cv[0]:6.2f}/{s_cv[1]:6.2f} deg"
               f"  tdir {s_cv[2]:6.2f}/{s_cv[3]:6.2f} deg  {pps_cv:8.1f} pairs/s")
         print(f"  TPU fixed     : rot med/p90 {s_tpu[0]:6.2f}/{s_tpu[1]:6.2f} deg"
@@ -255,8 +261,9 @@ def main():
         begin, end = "<!-- BEGIN GENERATED TABLE -->", "<!-- END GENERATED TABLE -->"
         lines = [
             begin,
-            f"Synthetic two-view pairs ({args.pairs} pairs, {args.n} correspondences,",
-            f"threshold {args.thr} px). OpenCV = the reference's exact path:",
+            f"Synthetic two-view pairs ({args.pairs} pairs, correspondence",
+            f"count per row, threshold {args.thr} px). OpenCV = the",
+            "reference's exact path:",
             "`cv.findEssentialMat(USAC_MAGSAC)` + `cv.recoverPose` per pair",
             "(reference pose_solver.py:46-61), single CPU core (this host has one).",
             "TPU fixed = `ops/essential.py essential_pose` (one jitted dispatch per",
@@ -268,19 +275,19 @@ def main():
             "(regeneration replaces only this marked block; the analysis below",
             "it is hand-written).",
             "",
-            "| outliers | noise px | solver | rot med (deg) | rot p90 | t-dir med | t-dir p90 | pairs/s |",
-            "|---|---|---|---|---|---|---|---|",
+            "| outliers | noise px | corr | solver | rot med (deg) | rot p90 | t-dir med | t-dir p90 | pairs/s |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
-        for rho, noise, s_cv, pps_cv, s_tpu, pps_tpu, s_ad, pps_ad in rows:
+        for rho, noise, n_corr, s_cv, pps_cv, s_tpu, pps_tpu, s_ad, pps_ad in rows:
             lines.append(
-                f"| {rho:.0%} | {noise} | OpenCV MAGSAC (1 CPU core) | {s_cv[0]:.2f} "
+                f"| {rho:.0%} | {noise} | {n_corr} | OpenCV MAGSAC (1 CPU core) | {s_cv[0]:.2f} "
                 f"| {s_cv[1]:.2f} | {s_cv[2]:.2f} | {s_cv[3]:.2f} | {pps_cv:.1f} |")
             lines.append(
-                f"| {rho:.0%} | {noise} | TPU fixed (1 chip) | {s_tpu[0]:.2f} "
+                f"| {rho:.0%} | {noise} | {n_corr} | TPU fixed (1 chip) | {s_tpu[0]:.2f} "
                 f"| {s_tpu[1]:.2f} | {s_tpu[2]:.2f} | {s_tpu[3]:.2f} | {pps_tpu:.1f} |")
             if s_ad is not None:
                 lines.append(
-                    f"| {rho:.0%} | {noise} | TPU adaptive (1 chip) | {s_ad[0]:.2f} "
+                    f"| {rho:.0%} | {noise} | {n_corr} | TPU adaptive (1 chip) | {s_ad[0]:.2f} "
                     f"| {s_ad[1]:.2f} | {s_ad[2]:.2f} | {s_ad[3]:.2f} | {pps_ad:.1f} |")
         lines.append(end)
         block = "\n".join(lines)
