@@ -311,3 +311,27 @@ class TestPackedTransferPath:
                 assert a.image_name == b.image_name
                 np.testing.assert_allclose(a.q, b.q, atol=1e-5)
                 np.testing.assert_allclose(a.t, b.t, atol=1e-5)
+
+    def test_packed_path_partial_final_batch(self, tmp_path):
+        """Partial final batches pad inside the packed buffer (queries,
+        ridx, and refs up to u_max) — poses must match the mesh path."""
+        make_scene(tmp_path / "val" / "s00000", n_queries=15,
+                   img_hw=(H, W), seed=3)  # 3 pairs -> batch 2 + partial 1
+
+        results = {}
+        for packed in (False, True):
+            over = dict(_TINY_RPR)
+            if packed:
+                over["TPU.MESH_SHAPE"] = [1]
+            cfg = base_cfg(tmp_path, MODEL="Regression", **over)
+            cfg.TPU.INFER_BATCH = 2
+            model = build_model(cfg)
+            dataset = MapFreeDataset(cfg, "val")
+            results[packed] = predict(
+                DataLoader(dataset, batch_size=2, num_workers=1,
+                           unique_refs=True), model)
+
+        for a, b in zip(results[False]["s00000"], results[True]["s00000"]):
+            assert a.image_name == b.image_name
+            np.testing.assert_allclose(a.q, b.q, atol=1e-5)
+            np.testing.assert_allclose(a.t, b.t, atol=1e-5)
