@@ -186,9 +186,19 @@ class RegressionPredictor:
                         image1,
                         np.zeros((pad,) + image1.shape[1:], image1.dtype)])
                     ridx = np.concatenate([ridx, np.zeros(pad, np.int32)])
-                if u.shape[0] < self.u_max:  # pad refs to the compiled shape
+                # bucket the ref rows to the next power of two instead of
+                # always padding to u_max: a typical eval batch has ONE
+                # unique ref, and on the wire-bound tunnel the zero pad rows
+                # were ~9% of the sweep's bytes (one compiled variant per
+                # bucket, 1/2/4/...; mesh path keeps the fixed u_max shape)
+                if self.mesh is None:
+                    bucket = 1 << max(0, (u.shape[0] - 1).bit_length())
+                    bucket = min(bucket, self.u_max)
+                else:
+                    bucket = self.u_max
+                if u.shape[0] < bucket:
                     u = np.concatenate([
-                        u, np.zeros((self.u_max - u.shape[0],) + u.shape[1:],
+                        u, np.zeros((bucket - u.shape[0],) + u.shape[1:],
                                     u.dtype)])
                 named = [("ref_idx", ridx), ("image0u", u),
                          ("image1", image1)]
