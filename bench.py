@@ -433,7 +433,11 @@ def bench_train_loader(cfg, batch: int = 16, steps: int = 16):
                 state, logs = step_fn(state, db)
         jax.block_until_ready((state.params, logs))
         out[label] = n / (time.perf_counter() - t0)
-        stages[label] = times.summary()
+        # queue_put is the producer's backpressure wait; its first post-
+        # reset sample spans the consumer's warm-up compile window and
+        # would dwarf every real stage — drop it from the report
+        stages[label] = {k: v for k, v in times.summary().items()
+                         if k != "queue_put"}
     return out, stages
 
 
