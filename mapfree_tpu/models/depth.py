@@ -129,6 +129,8 @@ class DepthPredictor:
 
     def __call__(self, images) -> jnp.ndarray:
         """images: [B, H, W, 3] float [0,1] or uint8 -> depth [B, H, W] f32."""
+        if isinstance(images, jax.Array):
+            return self._predict(images)  # device-resident: no host round trip
         return self._predict(jnp.asarray(np.asarray(images)))
 
     def point_depths(self, images, pts) -> jnp.ndarray:
