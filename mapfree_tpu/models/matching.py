@@ -112,6 +112,8 @@ class SIFTMatching:
     same OpenCV C++ kernel)."""
 
     def __init__(self, cfg):
+        import threading
+
         import cv2
 
         self.ratio_threshold = float(cfg.SIFT.RATIO_THRESHOLD)
@@ -119,6 +121,9 @@ class SIFTMatching:
         self.sift = cv2.SIFT_create(self.num_features)
         self.max_n = int(cfg.TPU.MAX_CORRESPONDENCES)
         self._cv2 = cv2
+        # transfer_batch runs on the sweep's worker threads; one shared
+        # cv2 detector is not documented thread-safe
+        self._lock = threading.Lock()
 
     @staticmethod
     def _root_sift(descs):
@@ -132,7 +137,8 @@ class SIFTMatching:
         else:
             img = (image_nhwc * 255).astype(np.uint8)
         gray = self._cv2.cvtColor(img, self._cv2.COLOR_RGB2GRAY)
-        kp, des = self.sift.detectAndCompute(gray, None)
+        with self._lock:
+            kp, des = self.sift.detectAndCompute(gray, None)
         if des is None or len(kp) == 0:
             return np.zeros((0, 2), np.float32), np.zeros((0, 128), np.float32)
         pts = np.array([k.pt for k in kp], np.float32)
