@@ -9,9 +9,13 @@ Run: ``python -m mapfree_tpu.visualisation.render_estimates submission.zip
 from __future__ import annotations
 
 import argparse
+import sys
 from io import TextIOWrapper
 from pathlib import Path
 from zipfile import ZipFile
+
+if __package__ in (None, ""):  # invoked as a file path, not -m
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from mapfree_tpu.benchmark.utils import load_poses, subsample_poses
 from mapfree_tpu.visualisation.render_scene import render_scene
