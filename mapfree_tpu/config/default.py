@@ -127,7 +127,10 @@ _CN.TPU.REMAT = False           # rematerialise encoder activations
 _CN.TPU.FUSED_CORRELATION = True  # Pallas fused correlation kernel (TPU only)
 _CN.TPU.SEED = 0
 _CN.TPU.PROFILE_DIR = None      # jax.profiler trace output dir
-_CN.TPU.INFER_BATCH = 8         # batched inference size for the submission sweep
+_CN.TPU.INFER_BATCH = 64        # batched inference size for the submission
+#                                 sweep (model-only peaks at B=64, and on a
+#                                 remote tunnel large batches amortise the
+#                                 per-transfer round-trip floor)
 _CN.TPU.UNIQUE_REFS = 4         # max deduped ref frames per inference batch
 _CN.TPU.YUV420_TRANSFER = True  # ship eval batches as planar YUV420 uint8
 #                                 (half the H2D bytes; unpacked on device)
