@@ -1,7 +1,8 @@
 """Benchmark: flagship RPR model throughput, model-only and end-to-end.
 
-Two measurements (reference inference resolution 540x720,
-config/regression/mapfree/3d3d.yaml equivalent):
+Two measurements (flagship 3d3d at its own 360x270 resolution — the
+reference's config/regression/mapfree/3d3d.yaml DATASET override; scene
+JPEGs are stored at the capture resolution 720x540 and DCT-scale-decoded):
 
 1. model-only: jitted forward throughput, swept over batch sizes, chained
    data dependencies + final host transfer (remote TPU execution is only
